@@ -1,0 +1,169 @@
+"""Typed configuration for the whole framework.
+
+Replaces the reference's ~60-flag argparse tree (cone/config.py:21-164) with
+nested frozen dataclasses + JSON round-trip. Defaults reproduce the
+reference's canonical Ego4D settings (cone/scripts/train_ego4d.sh:19-36);
+`mad_config()` gives the MAD settings (cone/scripts/train_mad.sh:20-42).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    hidden_dim: int = 256
+    nheads: int = 8
+    enc_layers: int = 2
+    dec_layers: int = 2
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    input_dropout: float = 0.5
+    num_queries: int = 5
+    t_feat_dim: int = 256          # EgoVLP text dim; 512 CLIP / 768 RoBERTa
+    v_motion_feat_dim: int = 256   # Moment-DETR branch video dim
+    v_appear_feat_dim: int = 256   # matching/adapter branch video dim
+    n_input_proj: int = 2
+    use_txt_pos: bool = False
+    pre_norm: bool = False
+    adapter_module: str = "linear"  # "linear" | "none"
+    span_loss_type: str = "l1"
+    max_q_l: int = 20
+    max_v_l: int = 90
+    # Compute dtype for the transformer ("float32" | "bfloat16"); params are
+    # always float32.
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    span_loss_coef: float = 10.0
+    giou_loss_coef: float = 1.0
+    label_loss_coef: float = 4.0
+    adapter_loss_coef: float = 1.0
+    lw_saliency: float = 1.0
+    eos_coef: float = 0.1
+    temperature: float = 0.07
+    saliency_margin: float = 0.2
+    set_cost_span: float = 10.0
+    set_cost_giou: float = 1.0
+    set_cost_class: float = 4.0
+    aux_loss: bool = True
+    neg_loss: bool = True
+    adapter_loss: bool = True
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dset_name: str = "ego4d"      # "ego4d" | "mad" | "synthetic"
+    train_path: Optional[str] = None
+    eval_path: Optional[str] = None
+    eval_split_name: str = "val"
+    motion_feat_dir: Optional[str] = None
+    appearance_feat_dir: Optional[str] = None
+    t_feat_dir: Optional[str] = None
+    max_q_l: int = 20
+    max_v_l: int = 90
+    clip_length: float = 0.535    # seconds per clip feature (ego4d EgoVLP)
+    max_windows: int = 5
+    topk_window: int = 20
+    data_ratio: float = 1.0
+    normalize_v: bool = True
+    normalize_t: bool = True
+    txt_drop_ratio: float = 0.0
+    # static padded length for whole-video feature arrays (coarse stage)
+    max_ctx_l: int = 2304
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    coef_lr: float = 0.1          # adapter lr multiplier
+    wd: float = 1e-4
+    lr_drop: int = 120            # epochs between x0.1 lr drops
+    n_epoch: int = 150
+    bsz: int = 32
+    eval_bsz: int = 32
+    grad_clip: float = 0.1
+    seed: int = 2018
+    eval_epoch_interval: int = 3
+    max_es_cnt: int = 10
+    start_epoch_for_adapter: int = 30
+    results_dir: str = "results"
+    exp_id: str = "exp"
+    save_interval: int = 50
+    dp_devices: int = 1           # data-parallel mesh size
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    nms_thd: float = 0.5
+    max_before_nms: int = 200
+    max_after_nms: int = 5
+    eval_modality: str = "both"   # "both" | "proposal" | "matching"
+    no_sort_results: bool = False
+    # chunk of queries per device batch in the fine stage
+    query_chunk: int = 32
+
+
+@dataclass(frozen=True)
+class ConeConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ConeConfig":
+        raw = json.loads(s)
+        return cls(
+            model=ModelConfig(**raw.get("model", {})),
+            loss=LossConfig(**raw.get("loss", {})),
+            data=DataConfig(**raw.get("data", {})),
+            train=TrainConfig(**raw.get("train", {})),
+            eval=EvalConfig(**raw.get("eval", {})),
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "ConeConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def replace(self, **sections) -> "ConeConfig":
+        return dataclasses.replace(self, **sections)
+
+
+def ego4d_config() -> ConeConfig:
+    """Canonical Ego4D-NLQ EgoVLP config (cone/scripts/train_ego4d.sh:19-36)."""
+    return ConeConfig(
+        data=DataConfig(
+            dset_name="ego4d", max_v_l=90, clip_length=0.535, topk_window=20,
+            max_ctx_l=2304,
+        ),
+        train=TrainConfig(n_epoch=150, lr_drop=120, bsz=32, start_epoch_for_adapter=30),
+    )
+
+
+def mad_config() -> ConeConfig:
+    """Canonical MAD CLIP config (cone/scripts/train_mad.sh:20-42)."""
+    return ConeConfig(
+        model=ModelConfig(t_feat_dim=512, v_motion_feat_dim=512, v_appear_feat_dim=512),
+        loss=LossConfig(adapter_loss_coef=0.2),
+        data=DataConfig(
+            dset_name="mad", max_v_l=125, clip_length=0.2, topk_window=30,
+            max_ctx_l=65536,
+        ),
+        train=TrainConfig(n_epoch=30, lr_drop=25, bsz=32, eval_bsz=16, seed=2020),
+    )

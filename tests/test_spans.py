@@ -1,0 +1,66 @@
+"""Span geometry vs the reference doctest values (cone/span_utils.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cone_tpu.ops import (
+    generalized_temporal_iou,
+    span_cxw_to_xx,
+    span_xx_to_cxw,
+    temporal_intersection_over_pred,
+    temporal_iou,
+)
+
+
+def test_xx_to_cxw_doctest():
+    spans = jnp.array([[0.0, 1.0], [0.2, 0.4]])
+    out = span_xx_to_cxw(spans)
+    np.testing.assert_allclose(out, [[0.5, 1.0], [0.3, 0.2]], atol=1e-6)
+
+
+def test_xx_to_cxw_batched():
+    spans = jnp.array([[[0.0, 1.0], [0.2, 0.4]]])
+    out = span_xx_to_cxw(spans)
+    np.testing.assert_allclose(out, [[[0.5, 1.0], [0.3, 0.2]]], atol=1e-6)
+
+
+def test_cxw_to_xx_doctest():
+    spans = jnp.array([[0.5, 1.0], [0.3, 0.2]])
+    out = span_cxw_to_xx(spans)
+    np.testing.assert_allclose(out, [[0.0, 1.0], [0.2, 0.4]], atol=1e-6)
+
+
+def test_roundtrip(rng):
+    xx = np.sort(rng.uniform(0, 1, size=(64, 2)), axis=-1)
+    back = span_cxw_to_xx(span_xx_to_cxw(jnp.asarray(xx)))
+    np.testing.assert_allclose(back, xx, atol=1e-6)
+
+
+def test_temporal_iou_doctest():
+    s1 = jnp.array([[0.0, 0.2], [0.5, 1.0]])
+    s2 = jnp.array([[0.0, 0.3], [0.0, 1.0]])
+    iou, union = temporal_iou(s1, s2)
+    np.testing.assert_allclose(iou, [[0.6667, 0.2], [0.0, 0.5]], atol=1e-4)
+    np.testing.assert_allclose(union, [[0.3, 1.0], [0.8, 1.0]], atol=1e-4)
+
+
+def test_giou_doctest():
+    s1 = jnp.array([[0.0, 0.2], [0.5, 1.0]])
+    s2 = jnp.array([[0.0, 0.3], [0.0, 1.0]])
+    giou = generalized_temporal_iou(s1, s2)
+    np.testing.assert_allclose(giou, [[0.6667, 0.2], [-0.2, 0.5]], atol=1e-4)
+
+
+def test_intersection_over_pred():
+    gt = jnp.array([[0.0, 1.0]])
+    pred = jnp.array([[0.5, 1.5], [2.0, 3.0]])
+    out = temporal_intersection_over_pred(gt, pred)
+    np.testing.assert_allclose(out, [[0.5, 0.0]], atol=1e-6)
+
+
+def test_giou_matches_iou_when_overlapping(rng):
+    # When spans overlap and neither contains a gap, gIoU == IoU - penalty>=0
+    s1 = jnp.asarray(np.sort(rng.uniform(0, 1, size=(16, 2)), axis=-1))
+    giou = generalized_temporal_iou(s1, s1)
+    np.testing.assert_allclose(np.diag(np.asarray(giou)), 1.0, atol=1e-5)
