@@ -221,6 +221,21 @@ class ConeModel(nn.Module):
         }
         return out
 
+    def init_all(self, src_txt, src_txt_mask, src_vid_motion, src_vid_motion_mask,
+                 src_cls_txt, src_vid_appear, src_vid_appear_mask):
+        """Touch every submodule so `.init(method=ConeModel.init_all)` creates
+        the full parameter tree (linen only materializes what a method uses)."""
+        out = self.__call__(src_txt, src_txt_mask, src_vid_motion,
+                            src_vid_motion_mask, deterministic=True)
+        b = src_vid_appear.shape[0]
+        start = jnp.zeros((b,), jnp.int32)
+        end = jnp.ones((b,), jnp.int32)
+        _ = self.clip_matching_gt(src_cls_txt, src_vid_appear, start, end)
+        _ = self.clip_matching_pred(
+            src_cls_txt, src_vid_appear, src_vid_appear_mask, out["pred_spans"]
+        )
+        return out
+
     # ---- matching / adapter branch ------------------------------------
 
     def adapt(self, feat):

@@ -94,7 +94,8 @@ class EncoderLayer(nn.Module):
         attn = MultiheadAttention(
             self.d_model, self.nhead, self.dropout, self.dtype, name="self_attn"
         )
-        ffn = _FFN(self.d_model, self.dim_feedforward, self.dropout, self.dtype)
+        ffn = _FFN(self.d_model, self.dim_feedforward, self.dropout, self.dtype,
+                   name="ffn")
         norm1 = nn.LayerNorm(name="norm1")
         norm2 = nn.LayerNorm(name="norm2")
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -131,7 +132,8 @@ class DecoderLayer(nn.Module):
         cross_attn = MultiheadAttention(
             self.d_model, self.nhead, self.dropout, self.dtype, name="multihead_attn"
         )
-        ffn = _FFN(self.d_model, self.dim_feedforward, self.dropout, self.dtype)
+        ffn = _FFN(self.d_model, self.dim_feedforward, self.dropout, self.dtype,
+                   name="ffn")
         norm1 = nn.LayerNorm(name="norm1")
         norm2 = nn.LayerNorm(name="norm2")
         norm3 = nn.LayerNorm(name="norm3")

@@ -1,0 +1,129 @@
+"""Convert a reference PyTorch CONE checkpoint into a cone_tpu param tree.
+
+The mapping is purely structural (transpose Dense kernels); attention
+in-projections stay packed, so every reference tensor maps 1:1.
+
+Usage (host with torch):
+    python tools/convert_ckpt.py --ckpt model_best.ckpt --out params.msgpack
+
+Also importable: `torch_state_dict_to_params(sd_numpy, cfg)` where
+`sd_numpy` maps reference names (cone/model.py parameter names) to numpy
+arrays — used by the golden-parity tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from cone_tpu.config import ModelConfig
+
+
+def _dense(sd, name):
+    return {"kernel": sd[f"{name}.weight"].T.copy(), "bias": sd[f"{name}.bias"].copy()}
+
+
+def _ln(sd, name):
+    return {"scale": sd[f"{name}.weight"].copy(), "bias": sd[f"{name}.bias"].copy()}
+
+
+def _attn(sd, name):
+    return {
+        "in_proj": {
+            "kernel": sd[f"{name}.in_proj_weight"].T.copy(),  # (D, 3D)
+            "bias": sd[f"{name}.in_proj_bias"].copy(),
+        },
+        "out_proj": _dense(sd, f"{name}.out_proj"),
+    }
+
+
+def _mlp(sd, name, n_layers):
+    return {f"layer_{i}": _dense(sd, f"{name}.layers.{i}") for i in range(n_layers)}
+
+
+def _linear_layer(sd, name):
+    out = {"linear": _dense(sd, f"{name}.net.1")}
+    if f"{name}.LayerNorm.weight" in sd:
+        out["LayerNorm"] = _ln(sd, f"{name}.LayerNorm")
+    return out
+
+
+def _encoder_layer(sd, name):
+    return {
+        "self_attn": _attn(sd, f"{name}.self_attn"),
+        "ffn": {
+            "linear1": _dense(sd, f"{name}.linear1"),
+            "linear2": _dense(sd, f"{name}.linear2"),
+        },
+        "norm1": _ln(sd, f"{name}.norm1"),
+        "norm2": _ln(sd, f"{name}.norm2"),
+    }
+
+
+def _decoder_layer(sd, name):
+    out = _encoder_layer(sd, name)
+    out["multihead_attn"] = _attn(sd, f"{name}.multihead_attn")
+    out["norm3"] = _ln(sd, f"{name}.norm3")
+    return out
+
+
+def torch_state_dict_to_params(sd: dict, cfg: ModelConfig) -> dict:
+    """Reference state_dict (numpy values) -> cone_tpu flax param dict."""
+    params = {}
+    for i in range(cfg.n_input_proj):
+        params[f"input_txt_proj_{i}"] = _linear_layer(sd, f"input_txt_proj.{i}")
+        params[f"input_vid_proj_{i}"] = _linear_layer(sd, f"input_vid_proj.{i}")
+
+    tr = {}
+    for i in range(cfg.enc_layers):
+        tr[f"encoder_layer_{i}"] = _encoder_layer(sd, f"transformer.encoder.layers.{i}")
+    for i in range(cfg.dec_layers):
+        tr[f"decoder_layer_{i}"] = _decoder_layer(sd, f"transformer.decoder.layers.{i}")
+    tr["decoder_norm"] = _ln(sd, "transformer.decoder.norm")
+    params["transformer"] = tr
+
+    params["query_embed"] = sd["query_embed.weight"].copy()
+    params["span_embed"] = _mlp(sd, "span_embed", 3)
+    params["class_embed"] = _dense(sd, "class_embed")
+    params["saliency_proj"] = _dense(sd, "saliency_proj")
+    if cfg.adapter_module == "linear":
+        params["adapter_layer"] = _mlp(sd, "adapter_layer", 2)
+    if cfg.use_txt_pos:
+        params["txt_position_embed"] = {
+            "position_embeddings": sd["txt_position_embed.position_embeddings.weight"].copy(),
+            "LayerNorm": _ln(sd, "txt_position_embed.LayerNorm"),
+        }
+    return params
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--config", default=None, help="ConeConfig json (optional)")
+    args = ap.parse_args()
+
+    import torch  # local import: conversion host only
+    from flax.serialization import msgpack_serialize
+
+    raw = torch.load(args.ckpt, map_location="cpu")
+    sd = raw["model"] if "model" in raw else raw
+    sd = {k: v.numpy() for k, v in sd.items()}
+
+    if args.config:
+        from cone_tpu.config import ConeConfig
+
+        cfg = ConeConfig.load(args.config).model
+    else:
+        cfg = ModelConfig()
+
+    params = torch_state_dict_to_params(sd, cfg)
+    params = {"params": params}
+    with open(args.out, "wb") as f:
+        f.write(msgpack_serialize(params))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
