@@ -1,0 +1,98 @@
+"""The jitted, DP-sharded training step.
+
+One step = positive-window forward + negative-window forward + (optionally)
+GT-proposal matching forward, criterion, grads, clipped AdamW update — the
+whole of cone/train.py:53-89 as a single compiled program. The adapter gate
+(`epoch >= start_epoch_for_adapter`, cone/train.py:73-78) is a static arg, so
+exactly two variants compile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cone_tpu.config import ConeConfig
+from cone_tpu.models.cone import ConeModel
+from cone_tpu.models.losses import (
+    adapter_nce_loss,
+    compute_losses,
+    loss_weight_dict,
+    total_loss,
+)
+from cone_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def make_train_step(model: ConeModel, tx, cfg: ConeConfig, mesh=None):
+    """Returns train_step(params, opt_state, batch, rng, adapter_on) ->
+    (params, opt_state, metrics)."""
+    weights = loss_weight_dict(cfg.loss, cfg.model.dec_layers)
+    nq = cfg.model.num_queries
+
+    def loss_fn(params, batch, rng, adapter_on: bool):
+        d1, d2 = jax.random.split(rng)
+        variables = {"params": params}
+        pos_out = model.apply(
+            variables,
+            batch["query_tokens"], batch["query_mask"],
+            batch["pos_motion"], batch["pos_mask"],
+            deterministic=False, rngs={"dropout": d1},
+        )
+        neg_out = None
+        if cfg.loss.neg_loss:
+            neg_out = dict(
+                model.apply(
+                    variables,
+                    batch["query_tokens"], batch["query_mask"],
+                    batch["neg_motion"], batch["neg_mask"],
+                    deterministic=False, rngs={"dropout": d2},
+                )
+            )
+            neg_out["vid_mask"] = batch["neg_mask"]
+
+        if adapter_on and cfg.loss.adapter_loss:
+            pos_out = dict(pos_out)
+            pos_out["logits_per_video"] = model.apply(
+                variables,
+                batch["query_cls"], batch["pos_appear"],
+                batch["prop_start"], batch["prop_end"],
+                method=ConeModel.clip_matching_gt,
+            )
+
+        targets = {
+            "span_labels": batch["span_labels"],
+            "span_mask": batch["span_mask"],
+            "saliency_pos": batch["sal_pos"],
+            "saliency_neg": batch["sal_neg"],
+        }
+        losses = compute_losses(pos_out, targets, neg_out, cfg.loss, nq)
+        total = total_loss(losses, weights)
+        losses["loss_overall"] = total
+        return total, losses
+
+    def _step(params, opt_state, batch, rng, adapter_on: bool = False):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, adapter_on
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        metrics["grad_norm"] = jax.tree.reduce(
+            lambda a, b: a + b, jax.tree.map(lambda g: jnp.sum(g * g), grads)
+        ) ** 0.5
+        return params, opt_state, metrics
+
+    # NB: pjit rejects kwargs when in_shardings is set — adapter_on must be
+    # passed positionally.
+    jit_kwargs = dict(static_argnums=(4,), donate_argnums=(0, 1))
+    if mesh is not None:
+        # DP: batch sharded on its leading axis, params/optimizer replicated;
+        # XLA inserts the gradient all-reduce over ICI.
+        bsh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        jit_kwargs.update(
+            in_shardings=(rep, rep, bsh, rep), out_shardings=(rep, rep, rep),
+        )
+    return jax.jit(_step, **jit_kwargs)
