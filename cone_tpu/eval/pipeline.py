@@ -1,0 +1,351 @@
+"""Coarse-to-fine inference pipeline, batched and jit-compiled end to end.
+
+Reference control flow (cone/inference.py:227-317): per-video Python loops
+for the coarse stage, a DataLoader of per-window slices for the fine stage,
+then pure-Python fusion + NMS. Here each stage is one fixed-shape device
+program:
+
+  coarse:  adapted = adapter(feats) + feats, renormalized       (one matmul)
+           frame_scores = cls_batch @ adapted.T                 (MXU)
+           window max  = O(L) segment max (ops/windows.py)
+           ranklist    = argsort desc
+  fine:    gather top-K windows on device -> (Q*K, max_v_l, D) one forward
+           for *all* windows of a query chunk (the reference's own demo
+           batches windows this way, run_on_video/cone_localizator.py:144-182)
+  post:    host parity path (bit-exact vs reference rounding/sort/NMS) or
+           the batched on-device fusion+NMS fast path.
+
+Videos are padded to cfg.data.max_ctx_l so every video/query reuses the same
+compiled programs; the window axis shards over the DP mesh.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cone_tpu.config import ConeConfig
+from cone_tpu.data.dataset import GroundingDataset
+from cone_tpu.models.cone import ConeModel
+from cone_tpu.ops.nms import temporal_nms_device, temporal_nms_host
+from cone_tpu.ops.spans import span_cxw_to_xx
+from cone_tpu.ops.windows import num_windows, slice_windows, window_scores_from_frame_scores
+from cone_tpu.utils.io import min_max_normalize
+
+
+class InferencePipeline:
+    def __init__(self, model: ConeModel, params, dataset: GroundingDataset,
+                 cfg: ConeConfig, mesh=None):
+        self.model = model
+        self.params = params
+        self.ds = dataset
+        self.cfg = cfg
+        self.mesh = mesh
+        self.stride = cfg.data.max_v_l // 2
+        self.max_ctx = cfg.data.max_ctx_l
+        self.max_w = num_windows(self.max_ctx, self.stride)
+        self._build_fns()
+
+    # ------------------------------------------------------------ kernels
+
+    def _build_fns(self):
+        cfg = self.cfg
+        model = self.model
+        stride, max_v_l = self.stride, cfg.data.max_v_l
+        max_w, topk = self.max_w, cfg.data.topk_window
+
+        @jax.jit
+        def adapt_fn(params, feats):
+            """Adapter + renormalize for the coarse stage
+            (cone/inference.py:254-258)."""
+            if cfg.model.adapter_module == "linear":
+                out = model.apply({"params": params}, feats, method=ConeModel.adapt)
+                norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+                return out / jnp.where(norm == 0, 1.0, norm)
+            return feats
+
+        @jax.jit
+        def coarse_fn(adapted, ctx_l, cls_batch):
+            """(Lmax, D), scalar, (Qc, D) -> ranked window ids (Qc, max_w)."""
+            frame_scores = cls_batch @ adapted.T  # (Qc, Lmax)
+            scores, valid = jax.vmap(
+                lambda fs: window_scores_from_frame_scores(fs, ctx_l, stride, max_w)
+            )(frame_scores)
+            order = jnp.argsort(-scores, axis=-1, stable=True)
+            return order, valid.sum(-1)
+
+        def fine_fn(params, appear, motion, ctx_l, win_idx, q_tok, q_mask, q_cls):
+            """One query-chunk x top-K-window batched forward.
+
+            appear/motion: (Lmax, D*), win_idx: (Qc, K), q_tok: (Qc, Lq, Dt).
+            Returns per (Qc, K, NQ): spans in window-normalized cxw, window
+            starts/lengths, fg probs, matching scores.
+            """
+            qc, k = win_idx.shape
+
+            def slice_one(idx):
+                a, m, s, l = slice_windows(appear, idx, stride, max_v_l, ctx_l)
+                mo, _, _, _ = slice_windows(motion, idx, stride, max_v_l, ctx_l)
+                return a, mo, m, s, l
+
+            ap, mo, wmask, wstart, wlen = jax.vmap(slice_one)(win_idx)
+            flat = lambda x: x.reshape((qc * k,) + x.shape[2:])
+            ap, mo, wmask = flat(ap), flat(mo), flat(wmask)
+
+            rep = lambda x: jnp.repeat(x, k, axis=0)
+            tok, tmask, cls = rep(q_tok), rep(q_mask), rep(q_cls)
+
+            out = model.apply(
+                {"params": params}, tok, tmask, mo, wmask, deterministic=True
+            )
+            prob_fg = jax.nn.softmax(out["pred_logits"], axis=-1)[..., 0]
+            matching = model.apply(
+                {"params": params}, cls, ap, wmask, out["pred_spans"],
+                method=ConeModel.clip_matching_pred,
+            )
+            nq = prob_fg.shape[-1]
+            return (
+                out["pred_spans"].reshape(qc, k, nq, 2),
+                wstart.reshape(qc, k),
+                wlen.reshape(qc, k),
+                prob_fg.reshape(qc, k, nq),
+                matching.reshape(qc, k, nq),
+            )
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            qsh = NamedSharding(self.mesh, P("dp"))
+            self._fine_fn = jax.jit(
+                fine_fn,
+                in_shardings=(rep, rep, rep, rep, qsh, qsh, qsh, qsh),
+                out_shardings=qsh,
+            )
+        else:
+            self._fine_fn = jax.jit(fine_fn)
+        self._adapt_fn = adapt_fn
+        self._coarse_fn = coarse_fn
+
+        nms_thd, max_after = cfg.eval.nms_thd, cfg.eval.max_after_nms
+
+        @jax.jit
+        def device_post_fn(spans_sec, prop, match, valid):
+            """Batched on-device fusion + NMS (fast path): min-max normalize
+            both scores over each query's valid candidates, sum, suppress."""
+            big, small = 1e30, -1e30
+
+            def norm(x):
+                lo = jnp.min(jnp.where(valid, x, big), axis=-1, keepdims=True)
+                hi = jnp.max(jnp.where(valid, x, small), axis=-1, keepdims=True)
+                rng = hi - lo
+                return jnp.where(rng > 0, (x - lo) / jnp.where(rng == 0, 1, rng), x)
+
+            fused = norm(prop) + norm(match)
+            return temporal_nms_device(spans_sec, fused, valid, nms_thd, max_after)
+
+        self._device_post_fn = device_post_fn
+
+    # ------------------------------------------------------------- stages
+
+    def _padded_video(self, clip_id):
+        appear, motion = self.ds.video_features(clip_id)
+        ctx_l = len(appear)
+        assert ctx_l <= self.max_ctx, (clip_id, ctx_l, self.max_ctx)
+
+        def pad(x):
+            out = np.zeros((self.max_ctx, x.shape[1]), np.float32)
+            out[:ctx_l] = x
+            return out
+
+        return pad(appear), (pad(motion) if motion is not appear else None), ctx_l
+
+    def _queries_by_video(self):
+        by_vid = defaultdict(list)
+        for ex in self.ds.examples:
+            by_vid[ex.clip_id].append(ex)
+        return by_vid
+
+    def coarse(self) -> Dict[str, List[int]]:
+        """Window ranklist per query (cone/inference.py:239-299)."""
+        qc = self.cfg.eval.query_chunk
+        ranklists = {}
+        for clip_id, exs in self._queries_by_video().items():
+            appear_np, _, ctx_l = self._padded_video(clip_id)
+            adapted = self._adapt_fn(self.params, jnp.asarray(appear_np))
+            n_win = num_windows(ctx_l, self.stride)
+            for i in range(0, len(exs), qc):
+                chunk = exs[i : i + qc]
+                cls = np.stack(
+                    [self.ds.query_features(e.query_id)[1] for e in chunk]
+                )
+                pad_n = qc - len(chunk)
+                if pad_n:
+                    cls = np.concatenate([cls, np.zeros((pad_n, cls.shape[1]), np.float32)])
+                order, _ = self._coarse_fn(adapted, jnp.asarray(ctx_l), jnp.asarray(cls))
+                order = np.asarray(order)
+                for j, ex in enumerate(chunk):
+                    ranklists[ex.query_id] = [
+                        int(w) for w in order[j] if w < n_win
+                    ]
+        return ranklists
+
+    def fine(self, ranklists: Dict[str, List[int]]):
+        """Raw per-query candidates from the top-K windows."""
+        cfg = self.cfg
+        qc, k = cfg.eval.query_chunk, cfg.data.topk_window
+        out_rows = []
+        for clip_id, exs in self._queries_by_video().items():
+            appear_np, motion_np, ctx_l = self._padded_video(clip_id)
+            appear_j = jnp.asarray(appear_np)
+            motion_j = appear_j if motion_np is None else jnp.asarray(motion_np)
+            for i in range(0, len(exs), qc):
+                chunk = exs[i : i + qc]
+                win_idx = np.zeros((qc, k), np.int32)
+                win_valid = np.zeros((qc, k), bool)
+                toks = np.zeros((qc, cfg.data.max_q_l, cfg.model.t_feat_dim), np.float32)
+                tmask = np.zeros((qc, cfg.data.max_q_l), np.float32)
+                clss = np.zeros((qc, cfg.model.t_feat_dim), np.float32)
+                for j, ex in enumerate(chunk):
+                    rank = ranklists[ex.query_id][:k]
+                    win_idx[j, : len(rank)] = rank
+                    win_valid[j, : len(rank)] = True
+                    tok, cls = self.ds.query_features(ex.query_id)
+                    toks[j, : len(tok)] = tok
+                    tmask[j, : len(tok)] = 1
+                    clss[j] = cls
+                spans, wstart, wlen, prob, match = jax.device_get(
+                    self._fine_fn(
+                        self.params, appear_j, motion_j, jnp.asarray(ctx_l),
+                        jnp.asarray(win_idx), jnp.asarray(toks),
+                        jnp.asarray(tmask), jnp.asarray(clss),
+                    )
+                )
+                for j, ex in enumerate(chunk):
+                    out_rows.append(
+                        dict(
+                            example=ex,
+                            spans_cxw=spans[j], win_start=wstart[j],
+                            win_len=wlen[j], prob=prob[j], match=match[j],
+                            win_valid=win_valid[j],
+                        )
+                    )
+        return out_rows
+
+    # ------------------------------------------------------ post-process
+
+    def candidates_host(self, row) -> List[List[float]]:
+        """Flatten one query's (K, NQ) grid into the reference's candidate
+        list: windows in ranklist order, proposals sorted by fg prob inside
+        each window, all values rounded to 4 dp
+        (cone/inference.py:70-91)."""
+        clip_len = self.cfg.data.clip_length
+        cands = []
+        k = row["spans_cxw"].shape[0]
+        for w in range(k):
+            if not row["win_valid"][w]:
+                continue
+            xx = np.asarray(span_cxw_to_xx(jnp.asarray(row["spans_cxw"][w])))
+            sec = (xx * row["win_len"][w] + row["win_start"][w]) * clip_len
+            entries = [
+                [float(sec[q, 0]), float(sec[q, 1]), float(row["prob"][w, q]),
+                 float(row["match"][w, q])]
+                for q in range(sec.shape[0])
+            ]
+            entries.sort(key=lambda e: e[2], reverse=True)
+            entries = [[float(f"{v:.4f}") for v in e] for e in entries]
+            cands.extend(entries)
+        return cands
+
+    def postprocess_host(self, rows):
+        """Reference-exact fusion + NMS (cone/inference.py:103-217).
+
+        Returns {"fusion": [...], "proposal": [...], "matching": [...]}
+        submission rows with query_id/clip_id/predicted_times.
+        """
+        cfg = self.cfg.eval
+        subs = {"fusion": [], "proposal": [], "matching": []}
+        for row in rows:
+            ex = row["example"]
+            cands = self.candidates_host(row)
+            prop_scores = min_max_normalize([c[2] for c in cands])
+            match_scores = min_max_normalize([c[3] for c in cands])
+            fused = [p + m for p, m in zip(prop_scores, match_scores)]
+            # dedup by (st, ed) keeping the *last* occurrence's scores,
+            # like the reference's dict build (inference.py:214-216)
+            ret = {}
+            for c, f in zip(cands, fused):
+                ret[(c[0], c[1])] = [c[2], c[3], f]
+            for name, idx in [("proposal", 0), ("matching", 1), ("fusion", 2)]:
+                moments = [[st, ed, v[idx]] for (st, ed), v in ret.items()]
+                moments.sort(key=lambda m: m[2], reverse=True)
+                if cfg.nms_thd != -1:
+                    kept = temporal_nms_host(
+                        moments[: cfg.max_before_nms], cfg.nms_thd, cfg.max_after_nms
+                    )
+                    times = [[m[0], m[1]] + ret[(m[0], m[1])] for m in kept]
+                else:
+                    times = [
+                        [m[0], m[1]] + ret[(m[0], m[1])]
+                        for m in moments[: cfg.max_after_nms]
+                    ]
+                subs[name].append(
+                    dict(
+                        query_id=ex.query_id, query=ex.query,
+                        video_id=ex.video_id, clip_id=ex.clip_id,
+                        predicted_times=times,
+                    )
+                )
+        return subs
+
+    def postprocess_device(self, rows):
+        """Fast path: batched fusion + NMS on device (fusion modality only)."""
+        clip_len = self.cfg.data.clip_length
+        spans, props, matches, valids, exs = [], [], [], [], []
+        for row in rows:
+            xx = np.asarray(span_cxw_to_xx(jnp.asarray(row["spans_cxw"])))
+            sec = (
+                xx * row["win_len"][:, None, None] + row["win_start"][:, None, None]
+            ) * clip_len
+            sec = np.round(sec, 4)
+            k, nq = row["prob"].shape
+            spans.append(sec.reshape(k * nq, 2))
+            props.append(np.round(row["prob"].reshape(-1), 4))
+            matches.append(np.round(row["match"].reshape(-1), 4))
+            valids.append(np.repeat(row["win_valid"], nq))
+            exs.append(row["example"])
+        o_spans, o_scores, o_valid = jax.device_get(
+            self._device_post_fn(
+                jnp.asarray(np.stack(spans)), jnp.asarray(np.stack(props)),
+                jnp.asarray(np.stack(matches)), jnp.asarray(np.stack(valids)),
+            )
+        )
+        out = []
+        for i, ex in enumerate(exs):
+            n = int(o_valid[i].sum())
+            times = [
+                [float(o_spans[i, j, 0]), float(o_spans[i, j, 1]), float(o_scores[i, j])]
+                for j in range(n)
+            ]
+            out.append(
+                dict(query_id=ex.query_id, query=ex.query, video_id=ex.video_id,
+                     clip_id=ex.clip_id, predicted_times=times)
+            )
+        return out
+
+    # --------------------------------------------------------------- run
+
+    def run(self, host_postproc: bool = True):
+        ranklists = self.coarse()
+        rows = self.fine(ranklists)
+        if host_postproc:
+            subs = self.postprocess_host(rows)
+        else:
+            subs = {"fusion": self.postprocess_device(rows)}
+        return subs, ranklists

@@ -1,0 +1,159 @@
+"""End-to-end inference pipeline on synthetic data + metric evaluators."""
+
+import numpy as np
+import pytest
+
+from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig
+from cone_tpu.data import make_synthetic_dataset
+from cone_tpu.eval.metrics import (
+    evaluate_ego4d_nlq,
+    evaluate_recall_table,
+    evaluate_window_ranklists,
+)
+from cone_tpu.eval.pipeline import InferencePipeline
+from cone_tpu.models.init import build_model_and_params
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ConeConfig(
+        model=ModelConfig(
+            hidden_dim=64, nheads=4, dim_feedforward=128,
+            t_feat_dim=DIM, v_motion_feat_dim=DIM, v_appear_feat_dim=DIM,
+            max_q_l=8, max_v_l=32, adapter_module="none",
+        ),
+        data=DataConfig(
+            max_v_l=32, max_q_l=8, clip_length=1.0, topk_window=5,
+            max_ctx_l=256, max_windows=5,
+        ),
+        eval=EvalConfig(nms_thd=0.5, max_after_nms=5, query_chunk=4),
+    )
+
+
+@pytest.fixture(scope="module")
+def ds(cfg):
+    return make_synthetic_dataset(
+        cfg.data, n_videos=3, queries_per_video=3, ctx_l_range=(100, 220),
+        dim=DIM, signal=3.0, seed=5,
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline(cfg, ds):
+    model, params = build_model_and_params(cfg.model, seed=0)
+    return InferencePipeline(model, params, ds, cfg)
+
+
+@pytest.fixture(scope="module")
+def results(pipeline):
+    subs, ranklists = pipeline.run(host_postproc=True)
+    return subs, ranklists
+
+
+def test_ranklists_are_window_permutations(ds, results, cfg):
+    _, ranklists = results
+    stride = cfg.data.max_v_l // 2
+    assert set(ranklists) == {e.query_id for e in ds.examples}
+    for ex in ds.examples:
+        ctx_l = len(ds.video_features(ex.clip_id)[0])
+        import math
+
+        n_win = math.ceil(ctx_l / stride) + 1
+        assert sorted(ranklists[ex.query_id]) == list(range(n_win))
+
+
+def test_coarse_recall_with_planted_signal(ds, results, cfg):
+    """With adapter=none and a strong planted signal, the GT window must be
+    near the top of every ranklist."""
+    _, ranklists = results
+    gt = [
+        dict(query_id=e.query_id, timestamps=e.timestamps) for e in ds.examples
+    ]
+    recall = evaluate_window_ranklists(
+        ranklists, gt, [1, 5], cfg.data.clip_length, cfg.data.max_v_l
+    )
+    assert recall[0] >= 0.8
+    assert recall[1] == 1.0
+
+
+def test_submission_format(results, cfg):
+    subs, _ = results
+    for name in ["fusion", "proposal", "matching"]:
+        for row in subs[name]:
+            times = row["predicted_times"]
+            assert 1 <= len(times) <= cfg.eval.max_after_nms
+            scores = [t[2 + {"proposal": 0, "matching": 1, "fusion": 2}[name]]
+                      for t in times]
+            assert scores == sorted(scores, reverse=True)
+            for t in times:
+                assert len(t) == 5  # st, ed, prop, match, fused
+                assert t[0] <= t[1] + 1e-6
+
+
+def test_device_postproc_agrees_with_host(pipeline, results):
+    subs, ranklists = results
+    rows = pipeline.fine(ranklists)
+    fast = pipeline.postprocess_device(rows)
+    slow = {r["query_id"]: r for r in subs["fusion"]}
+    for row in fast:
+        ref = slow[row["query_id"]]
+        got = np.asarray([t[:2] for t in row["predicted_times"]])
+        want = np.asarray([t[:2] for t in ref["predicted_times"]])
+        n = min(len(got), len(want))
+        np.testing.assert_allclose(got[:n], want[:n], atol=2e-3)
+        got_s = np.asarray([t[2] for t in row["predicted_times"]])
+        want_s = np.asarray([t[4] for t in ref["predicted_times"]])
+        np.testing.assert_allclose(got_s[:n], want_s[:n], atol=1e-3)
+
+
+def test_recall_table_evaluator_perfect_predictions(ds):
+    subs = [
+        dict(query_id=e.query_id, predicted_times=[list(e.timestamps) + [1.0]])
+        for e in ds.examples
+    ]
+    gt = [dict(query_id=e.query_id, timestamps=e.timestamps) for e in ds.examples]
+    rec = evaluate_recall_table(subs, gt, [0.1, 0.3, 0.5], [1, 5])
+    np.testing.assert_allclose(rec, 1.0)
+
+
+def test_ego4d_evaluator_nested_format(ds):
+    gt = {"videos": [{"clips": []}]}
+    preds = []
+    for e in ds.examples:
+        gt["videos"][0]["clips"].append(
+            {
+                "clip_uid": e.query_id + "_clip",
+                "annotations": [
+                    {
+                        "annotation_uid": e.query_id,
+                        "language_queries": [
+                            {
+                                "clip_start_sec": e.timestamps[0],
+                                "clip_end_sec": e.timestamps[1],
+                            }
+                        ],
+                    }
+                ],
+            }
+        )
+        preds.append(
+            dict(
+                clip_uid=e.query_id + "_clip", annotation_uid=e.query_id,
+                query_idx=0,
+                predicted_times=[[e.timestamps[0], e.timestamps[1], 1.0]],
+            )
+        )
+    results, miou = evaluate_ego4d_nlq(preds, gt, [0.3, 0.5], [1, 5])
+    np.testing.assert_allclose(results, 1.0)
+    assert miou == 1.0
+
+    # shifted predictions fail high-IoU thresholds
+    bad = [
+        dict(p, predicted_times=[[p["predicted_times"][0][0] + 100,
+                                  p["predicted_times"][0][1] + 100, 1.0]])
+        for p in preds
+    ]
+    results, miou = evaluate_ego4d_nlq(bad, gt, [0.3, 0.5], [1, 5])
+    np.testing.assert_allclose(results, 0.0)
