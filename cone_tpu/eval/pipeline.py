@@ -80,12 +80,15 @@ class InferencePipeline:
             order = jnp.argsort(-scores, axis=-1, stable=True)
             return order, valid.sum(-1)
 
+        clip_len = cfg.data.clip_length
+
         def fine_fn(params, appear, motion, ctx_l, win_idx, q_tok, q_mask, q_cls):
             """One query-chunk x top-K-window batched forward.
 
             appear/motion: (Lmax, D*), win_idx: (Qc, K), q_tok: (Qc, Lq, Dt).
-            Returns per (Qc, K, NQ): spans in window-normalized cxw, window
-            starts/lengths, fg probs, matching scores.
+            Returns per (Qc, K, NQ): proposal spans in seconds
+            ((cxw->xx) * window_len + window_start) * clip_length,
+            cone/inference.py:73-77), fg probs, matching scores.
             """
             qc, k = win_idx.shape
 
@@ -110,10 +113,13 @@ class InferencePipeline:
                 method=ConeModel.clip_matching_pred,
             )
             nq = prob_fg.shape[-1]
+            xx = span_cxw_to_xx(out["pred_spans"])  # (Qc*K, NQ, 2)
+            sec = (
+                xx * wlen.reshape(-1)[:, None, None]
+                + wstart.reshape(-1)[:, None, None]
+            ) * clip_len
             return (
-                out["pred_spans"].reshape(qc, k, nq, 2),
-                wstart.reshape(qc, k),
-                wlen.reshape(qc, k),
+                sec.reshape(qc, k, nq, 2),
                 prob_fg.reshape(qc, k, nq),
                 matching.reshape(qc, k, nq),
             )
@@ -175,7 +181,7 @@ class InferencePipeline:
     def coarse(self) -> Dict[str, List[int]]:
         """Window ranklist per query (cone/inference.py:239-299)."""
         qc = self.cfg.eval.query_chunk
-        ranklists = {}
+        pending = []
         for clip_id, exs in self._queries_by_video().items():
             appear_np, _, ctx_l = self._padded_video(clip_id)
             adapted = self._adapt_fn(self.params, jnp.asarray(appear_np))
@@ -187,20 +193,23 @@ class InferencePipeline:
                 )
                 pad_n = qc - len(chunk)
                 if pad_n:
-                    cls = np.concatenate([cls, np.zeros((pad_n, cls.shape[1]), np.float32)])
-                order, _ = self._coarse_fn(adapted, jnp.asarray(ctx_l), jnp.asarray(cls))
-                order = np.asarray(order)
-                for j, ex in enumerate(chunk):
-                    ranklists[ex.query_id] = [
-                        int(w) for w in order[j] if w < n_win
-                    ]
+                    cls = np.concatenate(
+                        [cls, np.zeros((pad_n, cls.shape[1]), np.float32)]
+                    )
+                fut, _ = self._coarse_fn(adapted, jnp.asarray(ctx_l), jnp.asarray(cls))
+                pending.append((chunk, n_win, fut))
+        ranklists = {}
+        for chunk, n_win, fut in pending:
+            order = np.asarray(fut)
+            for j, ex in enumerate(chunk):
+                ranklists[ex.query_id] = [int(w) for w in order[j] if w < n_win]
         return ranklists
 
     def fine(self, ranklists: Dict[str, List[int]]):
         """Raw per-query candidates from the top-K windows."""
         cfg = self.cfg
         qc, k = cfg.eval.query_chunk, cfg.data.topk_window
-        out_rows = []
+        pending = []
         for clip_id, exs in self._queries_by_video().items():
             appear_np, motion_np, ctx_l = self._padded_video(clip_id)
             appear_j = jnp.asarray(appear_np)
@@ -212,6 +221,7 @@ class InferencePipeline:
                 toks = np.zeros((qc, cfg.data.max_q_l, cfg.model.t_feat_dim), np.float32)
                 tmask = np.zeros((qc, cfg.data.max_q_l), np.float32)
                 clss = np.zeros((qc, cfg.model.t_feat_dim), np.float32)
+                clss[:, 0] = 1.0  # padded query rows: unit vector, avoids 0/0
                 for j, ex in enumerate(chunk):
                     rank = ranklists[ex.query_id][:k]
                     win_idx[j, : len(rank)] = rank
@@ -220,22 +230,23 @@ class InferencePipeline:
                     toks[j, : len(tok)] = tok
                     tmask[j, : len(tok)] = 1
                     clss[j] = cls
-                spans, wstart, wlen, prob, match = jax.device_get(
-                    self._fine_fn(
-                        self.params, appear_j, motion_j, jnp.asarray(ctx_l),
-                        jnp.asarray(win_idx), jnp.asarray(toks),
-                        jnp.asarray(tmask), jnp.asarray(clss),
+                fut = self._fine_fn(
+                    self.params, appear_j, motion_j, jnp.asarray(ctx_l),
+                    jnp.asarray(win_idx), jnp.asarray(toks),
+                    jnp.asarray(tmask), jnp.asarray(clss),
+                )
+                pending.append((chunk, win_valid, fut))
+        # resolve after dispatching everything (overlap host prep & device)
+        out_rows = []
+        for chunk, win_valid, fut in pending:
+            spans_sec, prob, match = jax.device_get(fut)
+            for j, ex in enumerate(chunk):
+                out_rows.append(
+                    dict(
+                        example=ex, spans_sec=spans_sec[j], prob=prob[j],
+                        match=match[j], win_valid=win_valid[j],
                     )
                 )
-                for j, ex in enumerate(chunk):
-                    out_rows.append(
-                        dict(
-                            example=ex,
-                            spans_cxw=spans[j], win_start=wstart[j],
-                            win_len=wlen[j], prob=prob[j], match=match[j],
-                            win_valid=win_valid[j],
-                        )
-                    )
         return out_rows
 
     # ------------------------------------------------------ post-process
@@ -245,14 +256,12 @@ class InferencePipeline:
         list: windows in ranklist order, proposals sorted by fg prob inside
         each window, all values rounded to 4 dp
         (cone/inference.py:70-91)."""
-        clip_len = self.cfg.data.clip_length
         cands = []
-        k = row["spans_cxw"].shape[0]
+        k = row["spans_sec"].shape[0]
         for w in range(k):
             if not row["win_valid"][w]:
                 continue
-            xx = np.asarray(span_cxw_to_xx(jnp.asarray(row["spans_cxw"][w])))
-            sec = (xx * row["win_len"][w] + row["win_start"][w]) * clip_len
+            sec = row["spans_sec"][w]  # (NQ, 2) already in seconds
             entries = [
                 [float(sec[q, 0]), float(sec[q, 1]), float(row["prob"][w, q]),
                  float(row["match"][w, q])]
@@ -306,14 +315,9 @@ class InferencePipeline:
 
     def postprocess_device(self, rows):
         """Fast path: batched fusion + NMS on device (fusion modality only)."""
-        clip_len = self.cfg.data.clip_length
         spans, props, matches, valids, exs = [], [], [], [], []
         for row in rows:
-            xx = np.asarray(span_cxw_to_xx(jnp.asarray(row["spans_cxw"])))
-            sec = (
-                xx * row["win_len"][:, None, None] + row["win_start"][:, None, None]
-            ) * clip_len
-            sec = np.round(sec, 4)
+            sec = np.round(row["spans_sec"], 4)
             k, nq = row["prob"].shape
             spans.append(sec.reshape(k * nq, 2))
             props.append(np.round(row["prob"].reshape(-1), 4))
