@@ -1,0 +1,224 @@
+"""Command-line drivers: train / infer / reformat / convert-store.
+
+Counterparts of the reference's cone/train.py + cone/inference.py CLIs and
+data tools, driven by the typed ConeConfig (JSON) instead of ~60 argparse
+flags. Presets reproduce the canonical script hyperparameters
+(cone/scripts/train_ego4d.sh, train_mad.sh); any field can be overridden
+with --set section.field=value.
+
+Feature inputs: packed .cfs stores (see cone_tpu/data/store.py). The text
+feature directory must contain tokens.cfs and cls.cfs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _apply_overrides(cfg, sets):
+    for kv in sets or []:
+        key, val = kv.split("=", 1)
+        section, field = key.split(".", 1)
+        sec = getattr(cfg, section)
+        cur = getattr(sec, field)
+        if isinstance(cur, bool):
+            val = val.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(val)
+        elif isinstance(cur, float):
+            val = float(val)
+        cfg = cfg.replace(**{section: dataclasses.replace(sec, **{field: val})})
+    return cfg
+
+
+def _load_cfg(args):
+    from cone_tpu.config import ConeConfig, ego4d_config, mad_config
+
+    if args.config:
+        cfg = ConeConfig.load(args.config)
+    elif args.preset == "ego4d":
+        cfg = ego4d_config()
+    elif args.preset == "mad":
+        cfg = mad_config()
+    else:
+        cfg = ConeConfig()
+    return _apply_overrides(cfg, args.set)
+
+
+def _open_dataset(cfg, data_path):
+    from cone_tpu.data.dataset import GroundingDataset
+    from cone_tpu.data.store import TextFeatureStore, open_array_store
+
+    d = cfg.data
+    appear = open_array_store(d.appearance_feat_dir)
+    motion = None
+    if d.motion_feat_dir and d.motion_feat_dir != d.appearance_feat_dir:
+        motion = open_array_store(d.motion_feat_dir)
+    text = TextFeatureStore(
+        open_array_store(os.path.join(d.t_feat_dir, "tokens.cfs")),
+        open_array_store(os.path.join(d.t_feat_dir, "cls.cfs")),
+    )
+    return GroundingDataset(data_path, appear, text, d, video_motion_store=motion)
+
+
+def cmd_train(args):
+    import dataclasses as dc
+
+    from cone_tpu.parallel.mesh import make_mesh
+    from cone_tpu.train.loop import train
+
+    cfg = _load_cfg(args)
+    if args.train_path:
+        cfg = cfg.replace(data=dc.replace(cfg.data, train_path=args.train_path))
+    if args.eval_path:
+        cfg = cfg.replace(data=dc.replace(cfg.data, eval_path=args.eval_path))
+    if args.synthetic:
+        from cone_tpu.data import make_synthetic_dataset
+
+        dim = cfg.model.v_appear_feat_dim
+        train_ds = make_synthetic_dataset(cfg.data, n_videos=8,
+                                          queries_per_video=8, dim=dim, seed=0)
+        eval_ds = train_ds
+    else:
+        train_ds = _open_dataset(cfg, cfg.data.train_path)
+        eval_ds = (
+            _open_dataset(cfg, cfg.data.eval_path) if cfg.data.eval_path else None
+        )
+    mesh = make_mesh() if args.mesh else None
+    train(cfg, train_ds, eval_ds, args.workdir, mesh=mesh, profile=args.profile)
+
+
+def cmd_infer(args):
+    from cone_tpu.models.init import build_model_and_params
+    from cone_tpu.train.checkpoint import CheckpointManager
+    from cone_tpu.train.loop import evaluate
+    from cone_tpu.utils.io import save_jsonl
+
+    cfg = CheckpointManager.load_config(args.workdir)
+    cfg = _apply_overrides(cfg, args.set)
+    model, template = build_model_and_params(cfg.model, seed=0)
+    ckpt = CheckpointManager(args.workdir)
+    params, _, epoch = ckpt.restore(args.ckpt, template)
+    print(f"restored '{args.ckpt}' (epoch {epoch})")
+
+    eval_ds = _open_dataset(cfg, args.eval_path or cfg.data.eval_path)
+    res = evaluate(model, params, eval_ds, cfg,
+                   host_postproc=not args.fast_postproc)
+    for t in res["tables"].values():
+        print(t)
+    out = os.path.join(args.workdir, f"inference_{args.ckpt}_preds.jsonl")
+    save_jsonl(res["submissions"]["fusion"], out)
+    print(f"wrote {out}")
+
+
+def cmd_reformat(args):
+    from cone_tpu.data import reformat
+    from cone_tpu.utils.io import load_json, save_jsonl
+
+    raw = load_json(args.input)
+    if args.dset == "ego4d":
+        rows = reformat.reformat_ego4d(raw, test_split=args.test_split)
+        if args.filter_train:
+            rows = reformat.filter_train_ego4d(rows)
+    else:
+        rows = reformat.reformat_mad(raw)
+        if args.filter_train:
+            rows = reformat.filter_train_mad(rows)
+    save_jsonl(rows, args.output)
+    print(f"wrote {len(rows)} rows to {args.output}")
+
+
+def cmd_convert_store(args):
+    """LMDB / h5 / npy-dir / pt-dir -> packed .cfs store (replaces the
+    reference's feature_extraction/misc converters)."""
+    import numpy as np
+
+    from cone_tpu.data.store import write_packed_store
+
+    items = {}
+    src = args.input
+    if args.format == "lmdb":
+        from cone_tpu.data.store import LmdbArrayStore
+
+        store = LmdbArrayStore(src, array_key=args.array_key)
+        for k in store.keys():
+            items[k] = store.get(k)
+    elif args.format == "h5":
+        import h5py  # optional
+
+        with h5py.File(src, "r") as f:
+            for k in f.keys():
+                items[k] = np.asarray(f[k], np.float32)
+    elif args.format == "npy_dir":
+        for name in sorted(os.listdir(src)):
+            if name.endswith(".npy"):
+                items[os.path.splitext(name)[0]] = np.load(
+                    os.path.join(src, name)
+                ).astype(np.float32)
+    elif args.format == "pt_dir":
+        import torch  # optional
+
+        for name in sorted(os.listdir(src)):
+            if name.endswith(".pt"):
+                items[os.path.splitext(name)[0]] = (
+                    torch.load(os.path.join(src, name), map_location="cpu")
+                    .float().numpy()
+                )
+    write_packed_store(args.output, items)
+    print(f"wrote {len(items)} entries to {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cone_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a CONE model")
+    t.add_argument("--config")
+    t.add_argument("--preset", choices=["ego4d", "mad"], default="ego4d")
+    t.add_argument("--set", action="append", metavar="SEC.FIELD=VAL")
+    t.add_argument("--workdir", required=True)
+    t.add_argument("--train_path")
+    t.add_argument("--eval_path")
+    t.add_argument("--synthetic", action="store_true",
+                   help="train on generated synthetic data (smoke runs)")
+    t.add_argument("--mesh", action="store_true", help="DP over all devices")
+    t.add_argument("--profile", action="store_true",
+                   help="jax.profiler trace of the first epoch")
+    t.set_defaults(fn=cmd_train)
+
+    i = sub.add_parser("infer", help="evaluate a checkpoint")
+    i.add_argument("--workdir", required=True)
+    i.add_argument("--ckpt", default="best")
+    i.add_argument("--eval_path")
+    i.add_argument("--set", action="append")
+    i.add_argument("--fast_postproc", action="store_true",
+                   help="batched on-device fusion+NMS instead of the"
+                        " reference-exact host path")
+    i.set_defaults(fn=cmd_infer)
+
+    r = sub.add_parser("reformat", help="challenge json -> flat jsonl")
+    r.add_argument("--dset", choices=["ego4d", "mad"], required=True)
+    r.add_argument("--input", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--test_split", action="store_true")
+    r.add_argument("--filter_train", action="store_true")
+    r.set_defaults(fn=cmd_reformat)
+
+    c = sub.add_parser("convert-store", help="features -> packed .cfs store")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--format", choices=["lmdb", "h5", "npy_dir", "pt_dir"],
+                   required=True)
+    c.add_argument("--array_key", default="features")
+    c.set_defaults(fn=cmd_convert_store)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

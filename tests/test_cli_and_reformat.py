@@ -1,0 +1,182 @@
+"""CLI + reformatters: ego4d/mad reformat parity, train filters, end-to-end
+CLI train+infer on packed stores written to disk."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cone_tpu.data.reformat import (
+    ego4d_flat_to_nested,
+    filter_train_ego4d,
+    filter_train_mad,
+    reformat_ego4d,
+    reformat_mad,
+)
+
+
+def _nested_fixture():
+    return {
+        "videos": [
+            {
+                "video_uid": "v1",
+                "clips": [
+                    {
+                        "clip_uid": "c1",
+                        "video_start_sec": 10.4,
+                        "video_end_sec": 490.6,
+                        "annotations": [
+                            {
+                                "annotation_uid": "a1",
+                                "language_queries": [
+                                    {"query": "where is x",
+                                     "clip_start_sec": 5.0, "clip_end_sec": 9.0},
+                                    {"query": "",  # dropped
+                                     "clip_start_sec": 0.0, "clip_end_sec": 1.0},
+                                    {"query": "who did y",
+                                     "clip_start_sec": 100.0, "clip_end_sec": 130.0},
+                                ],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+
+
+def test_reformat_ego4d():
+    rows = reformat_ego4d(_nested_fixture())
+    assert len(rows) == 2  # empty query dropped
+    r = rows[0]
+    assert r["query_id"] == "a1_0"
+    assert r["duration"] == 491 - 10  # normalize_sec rounding
+    assert r["timestamps"] == [5.0, 9.0]
+    assert rows[1]["query_id"] == "a1_2"
+
+    test_rows = reformat_ego4d(_nested_fixture(), test_split=True)
+    assert "timestamps" not in test_rows[0]
+
+
+def test_reformat_mad():
+    raw = {
+        "q1": {"sentence": "s1", "movie_duration": 7200.0, "movie": "m1",
+               "timestamps": [10.0, 20.0]},
+    }
+    rows = reformat_mad(raw)
+    assert rows[0] == {
+        "query": "s1", "query_id": "q1", "duration": 7200.0, "clip_id": "m1",
+        "video_id": "m1", "timestamps": [10.0, 20.0],
+    }
+
+
+def test_filter_train_rules():
+    mk = lambda ts, dur=480: {"timestamps": ts, "duration": dur,
+                              "clip_video_start_end": [0, dur]}
+    rows = [
+        mk([5, 10]),            # keep
+        mk([-1, 10]),           # mad: drop (start<0)
+        mk([500, 510]),         # drop (start >= duration)
+        mk([5, 5]),             # drop (zero length)
+        mk([100, 430]),         # ego4d: drop (no negative window)
+    ]
+    kept_mad = filter_train_mad(rows)
+    assert kept_mad == [rows[0], rows[4]]
+    kept = filter_train_ego4d(rows)
+    assert kept == [rows[0], rows[1]]  # ego4d has no start<0 rule
+
+
+def test_flat_to_nested_roundtrip():
+    rows = reformat_ego4d(_nested_fixture())
+    nested = ego4d_flat_to_nested(rows)
+    rows2 = reformat_ego4d(
+        {
+            "videos": [
+                {
+                    "video_uid": v["video_uid"],
+                    "clips": [
+                        dict(c, video_start_sec=0, video_end_sec=0)
+                        for c in v["clips"]
+                    ],
+                }
+                for v in nested["videos"]
+            ]
+        }
+    )
+    assert [r["query_id"] for r in rows2] == [r["query_id"] for r in rows]
+    assert [r["timestamps"] for r in rows2] == [r["timestamps"] for r in rows]
+
+
+@pytest.mark.slow
+def test_cli_train_infer_roundtrip(tmp_path):
+    """Write packed stores + jsonl, run the real CLI train (1 epoch tiny) and
+    infer in subprocesses."""
+    from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig, TrainConfig
+    from cone_tpu.data import make_synthetic_dataset, write_packed_store
+    from cone_tpu.utils.io import save_jsonl
+
+    dim = 32
+    cfg = ConeConfig(
+        model=ModelConfig(hidden_dim=64, nheads=4, dim_feedforward=128,
+                          t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_q_l=8, max_v_l=32),
+        data=DataConfig(dset_name="synthetic", max_v_l=32, max_q_l=8,
+                        clip_length=1.0, topk_window=4, max_ctx_l=256),
+        train=TrainConfig(bsz=4, n_epoch=1, eval_epoch_interval=1,
+                          save_interval=100),
+        eval=EvalConfig(query_chunk=4),
+    )
+    ds = make_synthetic_dataset(cfg.data, n_videos=2, queries_per_video=4,
+                                ctx_l_range=(90, 140), dim=dim, seed=0)
+
+    feat = tmp_path / "features"
+    text = feat / "text"
+    os.makedirs(text)
+    write_packed_store(
+        str(feat / "video.cfs"),
+        {vid: ds.video_features(vid)[0] for vid in ds.video_ids},
+    )
+    write_packed_store(
+        str(text / "tokens.cfs"),
+        {e.query_id: ds.text.get_tokens(e.query_id) for e in ds.examples},
+    )
+    write_packed_store(
+        str(text / "cls.cfs"),
+        {e.query_id: ds.text.get_cls(e.query_id)[None] for e in ds.examples},
+    )
+    jsonl = tmp_path / "train.jsonl"
+    save_jsonl([e.__dict__ for e in ds.examples], str(jsonl))
+    cfg_path = tmp_path / "config.json"
+    cfg.replace(
+        data=cfg.data.__class__(**{
+            **cfg.data.__dict__,
+            "appearance_feat_dir": str(feat / "video.cfs"),
+            "t_feat_dir": str(text),
+        })
+    ).save(str(cfg_path))
+
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/cone_tpu_jax_cache_cpu",
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+    )
+    workdir = str(tmp_path / "run")
+    r = subprocess.run(
+        [sys.executable, "-m", "cone_tpu.cli", "train", "--config", str(cfg_path),
+         "--workdir", workdir, "--train_path", str(jsonl),
+         "--eval_path", str(jsonl)],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(workdir, "model_best.msgpack"))
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cone_tpu.cli", "infer", "--workdir", workdir,
+         "--ckpt", "best"],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Rank@1" in r.stdout
