@@ -108,6 +108,11 @@ class EvalConfig:
     no_sort_results: bool = False
     # chunk of queries per device batch in the fine stage
     query_chunk: int = 32
+    # coarse stage via the fused Pallas kernel (ops/pallas_coarse.py) instead
+    # of the XLA matmul+reduce. Measured on v5e the XLA path is at least as
+    # fast (tools/bench_coarse.py), so this defaults off; the kernel exists
+    # for topologies where the (Q, L) intermediate becomes the bottleneck.
+    use_pallas_coarse: bool = False
 
 
 @dataclass(frozen=True)

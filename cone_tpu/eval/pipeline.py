@@ -73,10 +73,21 @@ class InferencePipeline:
         @jax.jit
         def coarse_fn(adapted, ctx_l, cls_batch):
             """(Lmax, D), scalar, (Qc, D) -> ranked window ids (Qc, max_w)."""
-            frame_scores = cls_batch @ adapted.T  # (Qc, Lmax)
-            scores, valid = jax.vmap(
-                lambda fs: window_scores_from_frame_scores(fs, ctx_l, stride, max_w)
-            )(frame_scores)
+            if cfg.eval.use_pallas_coarse:
+                from cone_tpu.ops.pallas_coarse import (
+                    coarse_segment_max, window_scores_from_segment_max,
+                )
+
+                seg = coarse_segment_max(adapted, cls_batch, ctx_l, stride)
+                scores, valid = window_scores_from_segment_max(
+                    seg, ctx_l, stride, max_w
+                )
+                valid = jnp.broadcast_to(valid, scores.shape)
+            else:
+                frame_scores = cls_batch @ adapted.T  # (Qc, Lmax)
+                scores, valid = jax.vmap(
+                    lambda fs: window_scores_from_frame_scores(fs, ctx_l, stride, max_w)
+                )(frame_scores)
             order = jnp.argsort(-scores, axis=-1, stable=True)
             return order, valid.sum(-1)
 
