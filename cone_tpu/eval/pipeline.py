@@ -63,9 +63,11 @@ class InferencePipeline:
         @jax.jit
         def adapt_fn(params, feats):
             """Adapter + renormalize for the coarse stage
-            (cone/inference.py:254-258)."""
+            (cone/inference.py:254-258). Works for any model exposing
+            .adapt (CONE or CONE-TAN)."""
             if cfg.model.adapter_module == "linear":
-                out = model.apply({"params": params}, feats, method=ConeModel.adapt)
+                out = model.apply({"params": params}, feats,
+                                  method=type(model).adapt)
                 norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
                 return out / jnp.where(norm == 0, 1.0, norm)
             return feats
@@ -91,6 +93,46 @@ class InferencePipeline:
             order = jnp.argsort(-scores, axis=-1, stable=True)
             return order, valid.sum(-1)
 
+        fine_fn = self._make_fine_fn()
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            qsh = NamedSharding(self.mesh, P("dp"))
+            self._fine_fn = jax.jit(
+                fine_fn,
+                in_shardings=(rep, rep, rep, rep, qsh, qsh, qsh, qsh),
+                out_shardings=qsh,
+            )
+        else:
+            self._fine_fn = jax.jit(fine_fn)
+        self._adapt_fn = adapt_fn
+        self._coarse_fn = coarse_fn
+
+        nms_thd, max_after = cfg.eval.nms_thd, cfg.eval.max_after_nms
+
+        @jax.jit
+        def device_post_fn(spans_sec, prop, match, valid):
+            """Batched on-device fusion + NMS (fast path): min-max normalize
+            both scores over each query's valid candidates, sum, suppress."""
+            big, small = 1e30, -1e30
+
+            def norm(x):
+                lo = jnp.min(jnp.where(valid, x, big), axis=-1, keepdims=True)
+                hi = jnp.max(jnp.where(valid, x, small), axis=-1, keepdims=True)
+                rng = hi - lo
+                return jnp.where(rng > 0, (x - lo) / jnp.where(rng == 0, 1, rng), x)
+
+            fused = norm(prop) + norm(match)
+            return temporal_nms_device(spans_sec, fused, valid, nms_thd, max_after)
+
+        self._device_post_fn = device_post_fn
+
+    def _make_fine_fn(self):
+        cfg = self.cfg
+        model = self.model
+        stride, max_v_l = self.stride, cfg.data.max_v_l
         clip_len = cfg.data.clip_length
 
         def fine_fn(params, appear, motion, ctx_l, win_idx, q_tok, q_mask, q_cls):
@@ -135,39 +177,7 @@ class InferencePipeline:
                 matching.reshape(qc, k, nq),
             )
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            rep = NamedSharding(self.mesh, P())
-            qsh = NamedSharding(self.mesh, P("dp"))
-            self._fine_fn = jax.jit(
-                fine_fn,
-                in_shardings=(rep, rep, rep, rep, qsh, qsh, qsh, qsh),
-                out_shardings=qsh,
-            )
-        else:
-            self._fine_fn = jax.jit(fine_fn)
-        self._adapt_fn = adapt_fn
-        self._coarse_fn = coarse_fn
-
-        nms_thd, max_after = cfg.eval.nms_thd, cfg.eval.max_after_nms
-
-        @jax.jit
-        def device_post_fn(spans_sec, prop, match, valid):
-            """Batched on-device fusion + NMS (fast path): min-max normalize
-            both scores over each query's valid candidates, sum, suppress."""
-            big, small = 1e30, -1e30
-
-            def norm(x):
-                lo = jnp.min(jnp.where(valid, x, big), axis=-1, keepdims=True)
-                hi = jnp.max(jnp.where(valid, x, small), axis=-1, keepdims=True)
-                rng = hi - lo
-                return jnp.where(rng > 0, (x - lo) / jnp.where(rng == 0, 1, rng), x)
-
-            fused = norm(prop) + norm(match)
-            return temporal_nms_device(spans_sec, fused, valid, nms_thd, max_after)
-
-        self._device_post_fn = device_post_fn
+        return fine_fn
 
     # ------------------------------------------------------------- stages
 

@@ -17,6 +17,7 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from cone_tpu.config import ModelConfig
@@ -274,7 +275,8 @@ class ConeModel(nn.Module):
         text = src_cls_txt / jnp.linalg.norm(src_cls_txt, axis=1, keepdims=True)
         pooled = proposal_mean_pool(src_vid_appear, src_vid_appear_mask, pred_spans_cxw)
         prop = self.adapt(pooled)
-        prop = prop / jnp.clip(
-            jnp.linalg.norm(prop, axis=2, keepdims=True), min=1e-12
-        )
+        # safe normalize (empty proposals pool to exact zeros; a plain
+        # norm-divide would emit NaN gradients there)
+        n2 = jnp.sum(prop * prop, axis=2, keepdims=True)
+        prop = jnp.where(n2 > 0, prop * jax.lax.rsqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
         return jnp.einsum("bld,bd->bl", prop, text)

@@ -1,0 +1,103 @@
+"""CONE-TAN end-to-end: training loss falls; inference pipeline produces
+well-formed ranked predictions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig, TrainConfig
+from cone_tpu.data import make_synthetic_dataset
+from cone_tpu.data.dataset import TrainLoader
+from cone_tpu.eval.tan_pipeline import TanInferencePipeline
+from cone_tpu.models.tan import ConeTanModel, TanConfig
+from cone_tpu.train.optim import make_optimizer
+from cone_tpu.train.tan_step import make_tan_train_step
+
+DIM = 32
+NC = 32
+
+
+@pytest.fixture(scope="module")
+def cfgs():
+    tan = TanConfig(
+        num_clips=NC, hidden_size=48, v_feat_dim=DIM, t_feat_dim=DIM,
+        txt_hidden_size=48, lstm_layers=2, num_scale_layers=(8, 4),
+        # kernel/padding telescope back to num_clips: 32 +8-4 -> 36 -4 -> 32
+        map_hidden_sizes=(48, 48), map_kernel_sizes=(5, 5), map_paddings=(4, 0),
+    )
+    cone = ConeConfig(
+        model=ModelConfig(t_feat_dim=DIM, v_appear_feat_dim=DIM,
+                          v_motion_feat_dim=DIM, adapter_module="linear",
+                          max_q_l=8, max_v_l=NC),
+        data=DataConfig(dset_name="synthetic", max_v_l=NC, max_q_l=8,
+                        clip_length=1.0, topk_window=4, max_ctx_l=256),
+        train=TrainConfig(bsz=8, lr=3e-4),
+        eval=EvalConfig(query_chunk=4),
+    )
+    return cone, tan
+
+
+@pytest.fixture(scope="module")
+def ds(cfgs):
+    cone, _ = cfgs
+    return make_synthetic_dataset(
+        cone.data, n_videos=4, queries_per_video=4, ctx_l_range=(90, 180),
+        dim=DIM, signal=3.0, seed=9,
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params(cfgs):
+    _, tan = cfgs
+    model = ConeTanModel(tan)
+    var = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((2, 8, DIM)), jnp.ones((2, 8)), jnp.zeros((2, NC, DIM)),
+        jnp.zeros((2, DIM)), jnp.zeros((2, NC, DIM)),
+        method=ConeTanModel.init_all,
+    )
+    return model, var["params"]
+
+
+def test_tan_training_loss_falls(cfgs, ds, model_and_params):
+    cone, tan = cfgs
+    model, params = model_and_params
+    params = jax.tree.map(jnp.array, params)  # the step donates its input
+    loader = TrainLoader(ds, bsz=cone.train.bsz, seed=0)
+    tx = make_optimizer(params, cone.train, loader.steps_per_epoch())
+    opt_state = tx.init(params)
+    step = make_tan_train_step(model, tx, tan)
+    losses, bce = [], []
+    rng = jax.random.PRNGKey(0)
+    n = 0
+    for epoch in range(50):
+        for batch in loader.epoch(epoch):
+            adapter_on = n >= 24  # exercise both compiled variants
+            params, opt_state, m = step(params, opt_state, batch, rng, adapter_on)
+            losses.append(float(m["loss_overall"]))
+            bce.append(float(m["loss_bce"]))
+            n += 1
+            if n >= 28:
+                break
+        if n >= 28:
+            break
+    assert np.isfinite(losses).all()
+    assert np.mean(bce[-4:]) < np.mean(bce[:4]) - 5e-3, bce
+    assert "loss_adapter" in m
+
+
+def test_tan_inference_pipeline(cfgs, ds, model_and_params):
+    cone, tan = cfgs
+    model, params = model_and_params
+    pipe = TanInferencePipeline(model, params, ds, cone, tan, proposal_top_k=5)
+    subs, ranklists = pipe.run(host_postproc=True)
+    assert set(r["query_id"] for r in subs["fusion"]) == {
+        e.query_id for e in ds.examples
+    }
+    for row in subs["fusion"]:
+        times = row["predicted_times"]
+        assert 1 <= len(times) <= cone.eval.max_after_nms
+        for t in times:
+            assert t[0] < t[1] + 1e-6
+            assert 0.0 - 1e-6 <= t[2] <= 1.0 + 1e-6  # sigmoid prob
