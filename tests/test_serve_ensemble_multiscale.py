@@ -1,0 +1,117 @@
+"""Serve path, ensemble tool, multiscale training loader."""
+
+import jax
+import numpy as np
+import pytest
+
+from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig, TrainConfig
+from cone_tpu.data import make_synthetic_dataset
+from cone_tpu.data.multiscale import MultiscaleTrainLoader, sample_multiscale_windows
+from cone_tpu.eval.ensemble import ensemble_predictions, top1_generator
+from cone_tpu.models.init import build_model_and_params
+from cone_tpu.serve import OnlineLocalizer
+from cone_tpu.train.optim import make_optimizer
+from cone_tpu.train.step import make_train_step
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ConeConfig(
+        model=ModelConfig(
+            hidden_dim=64, nheads=4, dim_feedforward=128,
+            t_feat_dim=DIM, v_motion_feat_dim=DIM, v_appear_feat_dim=DIM,
+            max_q_l=8, max_v_l=32,
+        ),
+        data=DataConfig(max_v_l=32, max_q_l=8, clip_length=1.0, topk_window=4,
+                        max_ctx_l=256),
+        train=TrainConfig(bsz=4),
+        eval=EvalConfig(query_chunk=2),
+    )
+
+
+def test_online_localizer(cfg, rng):
+    model, params = build_model_and_params(cfg.model, seed=0)
+    loc = OnlineLocalizer(model, params, cfg)
+    video = rng.normal(size=(150, DIM)).astype(np.float32)
+    tok = rng.normal(size=(6, DIM)).astype(np.float32)
+    cls = rng.normal(size=(DIM,)).astype(np.float32)
+    out = loc.localize(video, tok, cls, query="where is it")
+    assert 1 <= len(out) <= cfg.eval.max_after_nms
+    for st, ed, p, m, f in out:
+        assert st <= ed + 1e-6
+    # second call reuses compiled programs, different video length is fine
+    out2 = loc.localize(
+        rng.normal(size=(90, DIM)).astype(np.float32), tok, cls
+    )
+    assert len(out2) >= 1
+
+
+def test_top1_generator_clusters():
+    rows = [
+        [10.0, 14.0, 0, 0, 1.0],
+        [10.5, 14.5, 0, 0, 0.8],   # same cluster (centers 12, 12.5)
+        [50.0, 54.0, 0, 0, 0.5],   # far cluster
+    ]
+    out = top1_generator(rows)
+    assert len(out) == 2
+    assert out[0][-1] == pytest.approx(1.8)  # summed cluster score ranks first
+    assert 10.0 <= out[0][0] <= 10.5 and 14.0 <= out[0][1] <= 14.5
+
+
+def test_ensemble_predictions():
+    def sub(shift, score):
+        return [
+            dict(query_id="q0", clip_uid="c", annotation_uid="a", query_idx=0,
+                 predicted_times=[[10 + shift, 20 + shift, 0, 0, score],
+                                  [100 + shift, 110 + shift, 0, 0, score / 2]])
+        ]
+
+    fused = ensemble_predictions([sub(0, 1.0), sub(0.5, 0.9), sub(40, 0.8)])
+    assert len(fused) == 1
+    times = fused[0]["predicted_times"]
+    assert len(times) == 5  # padded to exactly 5
+    for t in times:
+        assert len(t) == 2
+
+
+def test_multiscale_window_geometry(cfg):
+    ds = make_synthetic_dataset(cfg.data, n_videos=3, queries_per_video=3,
+                                ctx_l_range=(100, 200), dim=DIM, seed=3)
+    rng = np.random.default_rng(0)
+    for i in range(len(ds)):
+        ex = ds.examples[i]
+        ctx_l = len(ds.video_features(ex.clip_id)[0])
+        start = ex.timestamps[0] / cfg.data.clip_length
+        end = ex.timestamps[1] / cfg.data.clip_length
+        for w_start, w_end, w_len in sample_multiscale_windows(ds, i, rng):
+            assert 0 <= w_start < w_end <= ctx_l
+            assert w_end - w_start <= 2 * cfg.data.max_v_l
+            # window covers (at least part of) the GT span
+            assert w_start < end and w_end > start
+
+
+def test_multiscale_loader_trains(cfg):
+    ds = make_synthetic_dataset(cfg.data, n_videos=3, queries_per_video=4,
+                                ctx_l_range=(100, 200), dim=DIM, seed=4)
+    loader = MultiscaleTrainLoader(ds, bsz=cfg.train.bsz, seed=0)
+    batch = next(iter(loader.epoch(0)))
+    b = cfg.train.bsz
+    assert batch["pos_motion"].shape == (4 * b, 2 * cfg.data.max_v_l, DIM)
+    assert batch["span_labels"].shape == (4 * b, cfg.data.max_windows, 2)
+    assert batch["pos_appear"].shape[0] == b  # matching branch: standard only
+    # spans are valid normalized cxw
+    c, w = batch["span_labels"][:, 0, 0], batch["span_labels"][:, 0, 1]
+    assert (w > 0).all() and (c - w / 2 >= -1e-5).all() and (c + w / 2 <= 1 + 1e-5).all()
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    tx = make_optimizer(params, cfg.train, 4)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, cfg)
+    params, opt_state, metrics = step(
+        params, opt_state, {k: np.asarray(v) for k, v in batch.items()},
+        jax.random.PRNGKey(0), True,
+    )
+    assert np.isfinite(float(metrics["loss_overall"]))
+    assert "loss_adapter" in metrics
