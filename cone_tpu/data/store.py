@@ -125,6 +125,10 @@ def open_array_store(path_or_dict) -> FeatureStore:
     if isinstance(path_or_dict, dict):
         return InMemoryArrayStore(path_or_dict)
     if str(path_or_dict).endswith(".cfs"):
+        from cone_tpu.data import native_store
+
+        if native_store.native_available():
+            return native_store.NativePackedStore(str(path_or_dict))
         return PackedArrayStore(path_or_dict)
     return LmdbArrayStore(path_or_dict)  # directory => reference LMDB
 
