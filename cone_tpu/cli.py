@@ -132,6 +132,25 @@ def cmd_reformat(args):
     print(f"wrote {len(rows)} rows to {args.output}")
 
 
+def cmd_extract_text(args):
+    from cone_tpu.extract import text as tx
+
+    if args.backend == "clip":
+        tx.extract_clip_text(args.input, args.out,
+                             model_name=args.model or "openai/clip-vit-base-patch32",
+                             device=args.device)
+    elif args.backend == "roberta":
+        tx.extract_roberta_text(args.input, args.out,
+                                model_name=args.model or "roberta-base",
+                                device=args.device)
+    else:
+        assert args.checkpoint, "--checkpoint required for egovlp"
+        tx.extract_egovlp_text(args.input, args.out, args.checkpoint,
+                               model_name=args.model or "distilbert-base-uncased",
+                               device=args.device)
+    print(f"wrote text stores to {args.out}")
+
+
 def cmd_convert_store(args):
     """LMDB / h5 / npy-dir / pt-dir -> packed .cfs store (replaces the
     reference's feature_extraction/misc converters)."""
@@ -207,6 +226,16 @@ def main(argv=None):
     r.add_argument("--test_split", action="store_true")
     r.add_argument("--filter_train", action="store_true")
     r.set_defaults(fn=cmd_reformat)
+
+    e = sub.add_parser("extract-text", help="query jsonl -> text feature stores")
+    e.add_argument("--input", required=True, help="query jsonl")
+    e.add_argument("--out", required=True, help="output dir (tokens.cfs + cls.cfs)")
+    e.add_argument("--backend", choices=["clip", "roberta", "egovlp"],
+                   required=True)
+    e.add_argument("--model")
+    e.add_argument("--checkpoint", help="EgoVLP checkpoint (txt projection)")
+    e.add_argument("--device", default="cpu")
+    e.set_defaults(fn=cmd_extract_text)
 
     c = sub.add_parser("convert-store", help="features -> packed .cfs store")
     c.add_argument("--input", required=True)
