@@ -95,6 +95,25 @@ class InferencePipeline:
 
         fine_fn = self._make_fine_fn()
 
+        # Fully fused per-chunk program: adapter -> frame scores -> window
+        # ranking -> top-k gather -> fine forward, ONE dispatch per
+        # (video, query-chunk). Separate coarse/fine calls cost a device
+        # round-trip each, which dominates on tunneled single-chip setups.
+        topk = cfg.data.topk_window
+
+        def fused_fn(params, appear, motion, ctx_l, q_tok, q_mask, q_cls):
+            adapted = adapt_fn(params, appear)
+            order, n_valid = coarse_fn(adapted, ctx_l, q_cls)
+            win_idx = order[:, :topk]
+            win_valid = win_idx < (n_valid[:, None] + 0)  # ranked ids < n_win
+            win_idx = jnp.where(win_valid, win_idx, 0)
+            spans_sec, prob, match = fine_fn(
+                params, appear, motion, ctx_l, win_idx, q_tok, q_mask, q_cls
+            )
+            return order, win_valid, spans_sec, prob, match
+
+        self._fused_fn = jax.jit(fused_fn)
+
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -193,6 +212,71 @@ class InferencePipeline:
 
         return pad(appear), (pad(motion) if motion is not appear else None), ctx_l
 
+    def _device_video(self, clip_id):
+        """Device-resident padded features, cached (uploaded once, shared by
+        every stage)."""
+        if not hasattr(self, "_dev_cache"):
+            self._dev_cache = {}
+        if clip_id not in self._dev_cache:
+            appear_np, motion_np, ctx_l = self._padded_video(clip_id)
+            appear_j = jnp.asarray(appear_np)
+            motion_j = appear_j if motion_np is None else jnp.asarray(motion_np)
+            self._dev_cache[clip_id] = (appear_j, motion_j, ctx_l)
+        return self._dev_cache[clip_id]
+
+    def clear_cache(self):
+        self.ds._vid_cache.clear()
+        if hasattr(self, "_dev_cache"):
+            self._dev_cache.clear()
+
+    def _chunk_queries(self, exs):
+        """Pad a query chunk to query_chunk rows of fixed-shape arrays."""
+        cfg = self.cfg
+        qc = cfg.eval.query_chunk
+        toks = np.zeros((qc, cfg.data.max_q_l, cfg.model.t_feat_dim), np.float32)
+        tmask = np.zeros((qc, cfg.data.max_q_l), np.float32)
+        clss = np.zeros((qc, cfg.model.t_feat_dim), np.float32)
+        clss[:, 0] = 1.0  # padded rows: unit vector, avoids 0/0 downstream
+        for j, ex in enumerate(exs):
+            tok, cls = self.ds.query_features(ex.query_id)
+            toks[j, : len(tok)] = tok
+            tmask[j, : len(tok)] = 1
+            clss[j] = cls
+        return toks, tmask, clss
+
+    def run_fused(self):
+        """One device dispatch per (video, query chunk): coarse ranking,
+        top-k gather and fine forward fused; batched device postproc.
+
+        Returns ({"fusion": [...]}, ranklists) like run(host_postproc=False).
+        """
+        qc = self.cfg.eval.query_chunk
+        k = self.cfg.data.topk_window
+        pending = []
+        for clip_id, exs in self._queries_by_video().items():
+            appear_j, motion_j, ctx_l = self._device_video(clip_id)
+            n_win = num_windows(ctx_l, self.stride)
+            for i in range(0, len(exs), qc):
+                chunk = exs[i : i + qc]
+                toks, tmask, clss = self._chunk_queries(chunk)
+                fut = self._fused_fn(
+                    self.params, appear_j, motion_j, jnp.asarray(ctx_l),
+                    jnp.asarray(toks), jnp.asarray(tmask), jnp.asarray(clss),
+                )
+                pending.append((chunk, n_win, fut))
+
+        ranklists = {}
+        rows = []
+        for chunk, n_win, fut in pending:
+            order, win_valid, spans_sec, prob, match = jax.device_get(fut)
+            for j, ex in enumerate(chunk):
+                ranklists[ex.query_id] = [int(w) for w in order[j] if w < n_win]
+                rows.append(
+                    dict(example=ex, spans_sec=spans_sec[j], prob=prob[j],
+                         match=match[j], win_valid=win_valid[j])
+                )
+        return {"fusion": self.postprocess_device(rows)}, ranklists
+
     def _queries_by_video(self):
         by_vid = defaultdict(list)
         for ex in self.ds.examples:
@@ -204,8 +288,8 @@ class InferencePipeline:
         qc = self.cfg.eval.query_chunk
         pending = []
         for clip_id, exs in self._queries_by_video().items():
-            appear_np, _, ctx_l = self._padded_video(clip_id)
-            adapted = self._adapt_fn(self.params, jnp.asarray(appear_np))
+            appear_j, _, ctx_l = self._device_video(clip_id)
+            adapted = self._adapt_fn(self.params, appear_j)
             n_win = num_windows(ctx_l, self.stride)
             for i in range(0, len(exs), qc):
                 chunk = exs[i : i + qc]
@@ -232,25 +316,16 @@ class InferencePipeline:
         qc, k = cfg.eval.query_chunk, cfg.data.topk_window
         pending = []
         for clip_id, exs in self._queries_by_video().items():
-            appear_np, motion_np, ctx_l = self._padded_video(clip_id)
-            appear_j = jnp.asarray(appear_np)
-            motion_j = appear_j if motion_np is None else jnp.asarray(motion_np)
+            appear_j, motion_j, ctx_l = self._device_video(clip_id)
             for i in range(0, len(exs), qc):
                 chunk = exs[i : i + qc]
                 win_idx = np.zeros((qc, k), np.int32)
                 win_valid = np.zeros((qc, k), bool)
-                toks = np.zeros((qc, cfg.data.max_q_l, cfg.model.t_feat_dim), np.float32)
-                tmask = np.zeros((qc, cfg.data.max_q_l), np.float32)
-                clss = np.zeros((qc, cfg.model.t_feat_dim), np.float32)
-                clss[:, 0] = 1.0  # padded query rows: unit vector, avoids 0/0
+                toks, tmask, clss = self._chunk_queries(chunk)
                 for j, ex in enumerate(chunk):
                     rank = ranklists[ex.query_id][:k]
                     win_idx[j, : len(rank)] = rank
                     win_valid[j, : len(rank)] = True
-                    tok, cls = self.ds.query_features(ex.query_id)
-                    toks[j, : len(tok)] = tok
-                    tmask[j, : len(tok)] = 1
-                    clss[j] = cls
                 fut = self._fine_fn(
                     self.params, appear_j, motion_j, jnp.asarray(ctx_l),
                     jnp.asarray(win_idx), jnp.asarray(toks),
@@ -366,7 +441,10 @@ class InferencePipeline:
 
     # --------------------------------------------------------------- run
 
-    def run(self, host_postproc: bool = True):
+    def run(self, host_postproc: bool = True, fused: bool = False):
+        if fused:
+            assert not host_postproc, "fused path uses device postproc"
+            return self.run_fused()
         ranklists = self.coarse()
         rows = self.fine(ranklists)
         if host_postproc:

@@ -92,6 +92,19 @@ def test_submission_format(results, cfg):
                 assert t[0] <= t[1] + 1e-6
 
 
+def test_fused_path_matches_staged(pipeline, results):
+    subs, ranklists = results
+    fused_subs, fused_rank = pipeline.run(host_postproc=False, fused=True)
+    assert fused_rank == ranklists
+    staged = {r["query_id"]: r for r in pipeline.postprocess_device(
+        pipeline.fine(ranklists))}
+    for row in fused_subs["fusion"]:
+        ref = staged[row["query_id"]]
+        got = np.asarray([t for t in row["predicted_times"]])
+        want = np.asarray([t for t in ref["predicted_times"]])
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_device_postproc_agrees_with_host(pipeline, results):
     subs, ranklists = results
     rows = pipeline.fine(ranklists)
