@@ -93,14 +93,13 @@ def cmd_train(args):
 
 
 def cmd_infer(args):
-    from cone_tpu.models.init import build_model_and_params
     from cone_tpu.train.checkpoint import CheckpointManager
-    from cone_tpu.train.loop import evaluate
+    from cone_tpu.train.loop import build_family, evaluate
     from cone_tpu.utils.io import save_jsonl
 
     cfg = CheckpointManager.load_config(args.workdir)
     cfg = _apply_overrides(cfg, args.set)
-    model, template = build_model_and_params(cfg.model, seed=0)
+    model, template = build_family(cfg, seed=0)
     ckpt = CheckpointManager(args.workdir)
     params, _, epoch = ckpt.restore(args.ckpt, template)
     print(f"restored '{args.ckpt}' (epoch {epoch})")

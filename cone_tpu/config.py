@@ -28,6 +28,7 @@ class ModelConfig:
     v_motion_feat_dim: int = 256   # Moment-DETR branch video dim
     v_appear_feat_dim: int = 256   # matching/adapter branch video dim
     n_input_proj: int = 2
+    model_family: str = "cone"     # "cone" (Moment-DETR head) | "tan" (2D-TAN)
     use_txt_pos: bool = False
     pre_norm: bool = False
     adapter_module: str = "linear"  # "linear" | "none"
@@ -37,6 +38,31 @@ class ModelConfig:
     # Compute dtype for the transformer ("float32" | "bfloat16"); params are
     # always float32.
     compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TanConfig:
+    """CONE-TAN (2D-TAN head) hyperparameters; defaults follow the reference
+    experiment yaml (cone_2dtan/experiments/ego4d/*.yaml)."""
+
+    num_clips: int = 64          # window length after frame pooling
+    hidden_size: int = 256
+    v_feat_dim: int = 256
+    t_feat_dim: int = 768
+    txt_hidden_size: int = 256
+    lstm_layers: int = 3
+    num_scale_layers: tuple = (16, 8, 8)
+    map_hidden_sizes: tuple = (256, 256, 256, 256)
+    map_kernel_sizes: tuple = (9, 9, 9, 9)
+    map_paddings: tuple = (16, 0, 0, 0)
+    frame_kernel: int = 1
+    frame_stride: int = 1
+    adapter_module: str = "linear"
+    min_iou: float = 0.3
+    max_iou: float = 0.7
+    bias: float = 0.5
+    temperature: float = 0.07
+    proposal_top_k: int = 10     # TEST.PROPOSAL_TOP_K
 
 
 @dataclass(frozen=True)
@@ -122,6 +148,7 @@ class ConeConfig:
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
+    tan: TanConfig = field(default_factory=TanConfig)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
@@ -129,12 +156,18 @@ class ConeConfig:
     @classmethod
     def from_json(cls, s: str) -> "ConeConfig":
         raw = json.loads(s)
+        tan_raw = raw.get("tan", {})
+        for k in ("num_scale_layers", "map_hidden_sizes", "map_kernel_sizes",
+                  "map_paddings"):
+            if k in tan_raw:
+                tan_raw[k] = tuple(tan_raw[k])
         return cls(
             model=ModelConfig(**raw.get("model", {})),
             loss=LossConfig(**raw.get("loss", {})),
             data=DataConfig(**raw.get("data", {})),
             train=TrainConfig(**raw.get("train", {})),
             eval=EvalConfig(**raw.get("eval", {})),
+            tan=TanConfig(**tan_raw),
         )
 
     def save(self, path: str) -> None:

@@ -30,25 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@dataclasses.dataclass(frozen=True)
-class TanConfig:
-    num_clips: int = 64          # window length after frame pooling
-    hidden_size: int = 256
-    v_feat_dim: int = 256
-    t_feat_dim: int = 768
-    txt_hidden_size: int = 256
-    lstm_layers: int = 3
-    num_scale_layers: Tuple[int, ...] = (16, 8, 8)
-    map_hidden_sizes: Tuple[int, ...] = (256, 256, 256, 256)
-    map_kernel_sizes: Tuple[int, ...] = (9, 9, 9, 9)
-    map_paddings: Tuple[int, ...] = (16, 0, 0, 0)
-    frame_kernel: int = 1        # FrameAvgPool kernel/stride
-    frame_stride: int = 1
-    adapter_module: str = "linear"
-    min_iou: float = 0.3
-    max_iou: float = 0.7
-    bias: float = 0.5
-    temperature: float = 0.07
+from cone_tpu.config import TanConfig  # canonical definition lives in config
 
 
 def sparse_map_layout(num_clips: int, num_scale_layers: Sequence[int]):

@@ -46,11 +46,44 @@ def _stop_score(recall_table, dset_name: str) -> float:
     return float(np.mean(recall_table[0]))
 
 
+def build_family(cfg: ConeConfig, seed: int):
+    """(model, params) for the configured model family."""
+    if cfg.model.model_family == "tan":
+        import jax.numpy as jnp
+
+        from cone_tpu.models.tan import ConeTanModel
+
+        tan = cfg.tan
+        model = ConeTanModel(tan)
+        var = model.init(
+            {"params": jax.random.PRNGKey(seed)},
+            jnp.zeros((2, cfg.data.max_q_l, tan.t_feat_dim)),
+            jnp.ones((2, cfg.data.max_q_l)),
+            jnp.zeros((2, tan.num_clips, tan.v_feat_dim)),
+            jnp.zeros((2, tan.v_feat_dim)),
+            jnp.zeros((2, tan.num_clips, tan.v_feat_dim)),
+            method=ConeTanModel.init_all,
+        )
+        return model, var["params"]
+    return build_model_and_params(cfg.model, seed=seed)
+
+
+def _make_pipeline(model, params, eval_ds, cfg, mesh):
+    if cfg.model.model_family == "tan":
+        from cone_tpu.eval.tan_pipeline import TanInferencePipeline
+
+        return TanInferencePipeline(
+            model, params, eval_ds, cfg, cfg.tan,
+            proposal_top_k=cfg.tan.proposal_top_k, mesh=mesh,
+        )
+    return InferencePipeline(model, params, eval_ds, cfg, mesh=mesh)
+
+
 def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
              mesh=None, host_postproc: bool = True):
     """Run inference + metrics on a flat-jsonl-style GT (the dataset's own
     examples). Returns dict with recall tables per modality + window recall."""
-    pipe = InferencePipeline(model, params, eval_ds, cfg, mesh=mesh)
+    pipe = _make_pipeline(model, params, eval_ds, cfg, mesh)
     subs, ranklists = pipe.run(host_postproc=host_postproc)
     gt = [dict(query_id=e.query_id, timestamps=e.timestamps) for e in eval_ds.examples]
     if cfg.data.dset_name == "mad":
@@ -91,11 +124,18 @@ def train(
     ckpt = CheckpointManager(workdir, cfg)
     logger = MetricLogger(workdir)
 
-    model, params = build_model_and_params(cfg.model, seed=cfg.train.seed)
+    model, params = build_family(cfg, seed=cfg.train.seed)
     loader = TrainLoader(train_ds, bsz=cfg.train.bsz, seed=cfg.train.seed)
     tx = make_optimizer(params, cfg.train, loader.steps_per_epoch())
     opt_state = tx.init(params)
-    step_fn = make_train_step(model, tx, cfg, mesh=mesh)
+    if cfg.model.model_family == "tan":
+        from cone_tpu.train.tan_step import make_tan_train_step
+
+        step_fn = make_tan_train_step(
+            model, tx, cfg.tan, use_neg_loss=cfg.loss.neg_loss, mesh=mesh
+        )
+    else:
+        step_fn = make_train_step(model, tx, cfg, mesh=mesh)
 
     start_epoch = 0
     if ckpt.exists("latest"):

@@ -1,0 +1,45 @@
+"""Inference pipeline with the fine stage sharded over the 8-device mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig
+from cone_tpu.data import make_synthetic_dataset
+from cone_tpu.eval.pipeline import InferencePipeline
+from cone_tpu.models.init import build_model_and_params
+from cone_tpu.parallel.mesh import make_mesh
+
+DIM = 32
+
+
+def test_sharded_pipeline_matches_single(rng):
+    assert len(jax.devices()) == 8
+    cfg = ConeConfig(
+        model=ModelConfig(hidden_dim=64, nheads=4, dim_feedforward=128,
+                          t_feat_dim=DIM, v_motion_feat_dim=DIM,
+                          v_appear_feat_dim=DIM, max_q_l=8, max_v_l=32,
+                          adapter_module="none"),
+        data=DataConfig(max_v_l=32, max_q_l=8, clip_length=1.0, topk_window=4,
+                        max_ctx_l=256),
+        eval=EvalConfig(query_chunk=8),  # divisible by the 8-way mesh
+    )
+    ds = make_synthetic_dataset(cfg.data, n_videos=2, queries_per_video=8,
+                                ctx_l_range=(100, 200), dim=DIM, signal=3.0,
+                                seed=21)
+    model, params = build_model_and_params(cfg.model, seed=0)
+
+    single = InferencePipeline(model, params, ds, cfg)
+    subs1, rank1 = single.run(host_postproc=True)
+
+    sharded = InferencePipeline(model, params, ds, cfg, mesh=make_mesh(8))
+    subs2, rank2 = sharded.run(host_postproc=True)
+
+    assert rank1 == rank2
+    by_qid = {r["query_id"]: r for r in subs1["fusion"]}
+    for row in subs2["fusion"]:
+        ref = by_qid[row["query_id"]]
+        got = np.asarray(row["predicted_times"], np.float64)
+        want = np.asarray(ref["predicted_times"], np.float64)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-3)
