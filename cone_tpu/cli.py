@@ -113,6 +113,26 @@ def cmd_infer(args):
     save_jsonl(res["submissions"]["fusion"], out)
     print(f"wrote {out}")
 
+    from cone_tpu.eval.submission import to_ego4d_challenge, write_submission
+
+    sub_path = os.path.join(
+        args.workdir,
+        f"submission_{cfg.data.dset_name}_{args.ckpt}."
+        + ("json" if cfg.data.dset_name == "ego4d" else "jsonl"),
+    )
+    write_submission(res["submissions"]["fusion"], sub_path, cfg.data.dset_name)
+    print(f"wrote {sub_path}")
+
+    if args.ego4d_gt:
+        from cone_tpu.eval.metrics import display_ego4d_results, evaluate_ego4d_nlq
+        from cone_tpu.utils.io import load_json
+
+        gt = load_json(args.ego4d_gt)
+        preds = to_ego4d_challenge(res["submissions"]["fusion"])["results"]
+        results, miou = evaluate_ego4d_nlq(preds, gt, [0.3, 0.5], [1, 5, 10, 50, 100])
+        print(display_ego4d_results(results, miou, [0.3, 0.5],
+                                    [1, 5, 10, 50, 100], title="Official Ego4D"))
+
 
 def cmd_reformat(args):
     from cone_tpu.data import reformat
@@ -216,6 +236,9 @@ def main(argv=None):
     i.add_argument("--fast_postproc", action="store_true",
                    help="batched on-device fusion+NMS instead of the"
                         " reference-exact host path")
+    i.add_argument("--ego4d_gt",
+                   help="official nested Ego4D GT json: also run the"
+                        " challenge evaluator")
     i.set_defaults(fn=cmd_infer)
 
     r = sub.add_parser("reformat", help="challenge json -> flat jsonl")

@@ -1,0 +1,73 @@
+"""MAD movie-scale inference benchmark (BASELINE.json config #5).
+
+2-hour movies at 5 fps (36k clips, 512-d CLIP features), window 125,
+top-30 windows per query — thousands of windows per movie — through the
+fused coarse-to-fine pipeline. Run on TPU:
+
+    python tools/bench_mad.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/cone_tpu_jax_cache")
+
+    from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig
+    from cone_tpu.data import make_synthetic_dataset
+    from cone_tpu.eval.pipeline import InferencePipeline
+    from cone_tpu.models.init import build_model_and_params
+
+    dim = 512
+    ctx = 36000  # 2 h @ 5 fps
+    cfg = ConeConfig(
+        model=ModelConfig(t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_v_l=125, max_q_l=20,
+                          compute_dtype="bfloat16"),
+        data=DataConfig(dset_name="mad", max_v_l=125, clip_length=0.2,
+                        topk_window=30, max_q_l=20, max_ctx_l=36096),
+        eval=EvalConfig(nms_thd=0.5, max_after_nms=5, query_chunk=16),
+    )
+    n_videos, qpv = 2, 32
+    ds = make_synthetic_dataset(
+        cfg.data, n_videos=n_videos, queries_per_video=qpv,
+        ctx_l_range=(ctx - 5, ctx), dim=dim, q_len_range=(8, 20), seed=0,
+    )
+    n_queries = len(ds)
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"{n_videos} movies x {ctx} clips x {dim}d, {n_queries} queries,"
+          f" {-(-ctx // (cfg.data.max_v_l // 2)) + 1} windows/movie",
+          file=sys.stderr)
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    pipe = InferencePipeline(model, params, ds, cfg)
+
+    t0 = time.time()
+    pipe.run(host_postproc=False, fused=True)
+    print(f"warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        subs, ranklists = pipe.run(host_postproc=False, fused=True)
+        best = min(best, time.time() - t0)
+        print(f"run: {best:.3f}s -> {n_queries / best:.2f} q/s", file=sys.stderr)
+
+    import json
+
+    print(json.dumps({
+        "metric": "mad_infer_qps", "value": round(n_queries / best, 2),
+        "unit": "queries/sec",
+    }))
+
+
+if __name__ == "__main__":
+    main()
