@@ -156,7 +156,9 @@ def train(
         t_load = time.time()
         if profile and epoch == start_epoch:
             jax.profiler.start_trace(os.path.join(workdir, "profile"))
-        for batch in loader.epoch(epoch):
+        from cone_tpu.data.prefetch import prefetch_iterator
+
+        for batch in prefetch_iterator(loader.epoch(epoch)):
             meters["dataloading_time"].update(time.time() - t_load)
             t0 = time.time()
             if mesh is not None:

@@ -1,0 +1,83 @@
+"""Training-step throughput benchmark (full-size Ego4D config) on TPU.
+
+    python tools/bench_train.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/cone_tpu_jax_cache")
+
+    from cone_tpu.config import ConeConfig, DataConfig, ModelConfig, TrainConfig
+    from cone_tpu.data import make_synthetic_dataset
+    from cone_tpu.data.dataset import TrainLoader
+    from cone_tpu.models.init import build_model_and_params
+    from cone_tpu.train.optim import make_optimizer
+    from cone_tpu.train.step import make_train_step
+
+    dim = 256
+    cfg = ConeConfig(
+        model=ModelConfig(t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_v_l=90, max_q_l=20),
+        data=DataConfig(max_v_l=90, max_q_l=20, clip_length=0.535),
+        train=TrainConfig(bsz=32),
+    )
+    ds = make_synthetic_dataset(cfg.data, n_videos=8, queries_per_video=16,
+                                ctx_l_range=(900, 1200), dim=dim, seed=0)
+    model, params = build_model_and_params(cfg.model, seed=0)
+    loader = TrainLoader(ds, bsz=cfg.train.bsz, seed=0)
+    tx = make_optimizer(params, cfg.train, loader.steps_per_epoch())
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, cfg)
+    rng = jax.random.PRNGKey(0)
+
+    batches = list(loader.epoch(0))
+    print(f"devices: {jax.devices()}; bsz={cfg.train.bsz}; "
+          f"{len(batches)} steps/epoch", file=sys.stderr)
+
+    # warmup both adapter variants
+    t0 = time.time()
+    params, opt_state, m = step(params, opt_state, batches[0], rng, False)
+    params, opt_state, m = step(params, opt_state, batches[0], rng, True)
+    jax.block_until_ready(m["loss_overall"])
+    print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # host-sampling time (the reference's dataloading meter)
+    t0 = time.time()
+    _ = list(loader.epoch(1))
+    host_dt = (time.time() - t0) / len(batches)
+
+    t0 = time.time()
+    n = 0
+    for _ in range(3):
+        for b in batches:
+            rng, sub = jax.random.split(rng)
+            params, opt_state, m = step(params, opt_state, b, sub, True)
+            n += 1
+    jax.block_until_ready(m["loss_overall"])
+    dt = (time.time() - t0) / n
+    print(f"device step: {dt * 1e3:.1f} ms -> {cfg.train.bsz / dt:.0f} samples/s",
+          file=sys.stderr)
+    print(f"host sampling: {host_dt * 1e3:.1f} ms/batch (overlappable)",
+          file=sys.stderr)
+
+    import json
+
+    print(json.dumps({
+        "metric": "train_samples_per_sec",
+        "value": round(cfg.train.bsz / dt, 1),
+        "unit": "samples/sec",
+    }))
+
+
+if __name__ == "__main__":
+    main()
