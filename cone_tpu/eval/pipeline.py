@@ -21,10 +21,8 @@ compiled programs; the window axis shards over the DP mesh.
 
 from __future__ import annotations
 
-import math
 from collections import defaultdict
-from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

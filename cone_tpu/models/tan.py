@@ -21,8 +21,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

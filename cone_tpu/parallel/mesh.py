@@ -9,7 +9,7 @@ TPU-native equivalent of scaling the reference's single-GPU pipeline
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -13,7 +13,7 @@ whole model is ~10 MB — a single atomic file write is the right tool.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -9,8 +9,8 @@ exactly two variants compile.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
+
+
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from cone_tpu.config import ConeConfig
 from cone_tpu.models.cone import ConeModel
 from cone_tpu.models.losses import (
-    adapter_nce_loss,
     compute_losses,
     loss_weight_dict,
     total_loss,

@@ -8,11 +8,9 @@ BCE, negative-window map pushed toward an all-zero target
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from cone_tpu.models.tan import ConeTanModel, TanConfig, bce_rescale_loss
 from cone_tpu.models.losses import adapter_nce_loss
