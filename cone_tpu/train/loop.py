@@ -106,7 +106,14 @@ def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
         out["tables"][name] = display_recall_table(
             rec, thresholds, topk, title=name.capitalize()
         )
-    primary = "recall_fusion" if "recall_fusion" in out else f"recall_{list(subs)[0]}"
+    # eval_modality selects which score variant drives early stopping
+    # (cone/config.py:123, inference.py:479-493)
+    modality = {"both": "fusion", "proposal": "proposal",
+                "matching": "matching"}[cfg.eval.eval_modality]
+    primary = (
+        f"recall_{modality}" if f"recall_{modality}" in out
+        else f"recall_{list(subs)[0]}"
+    )
     out["stop_score"] = _stop_score(out[primary], cfg.data.dset_name)
     return out
 
