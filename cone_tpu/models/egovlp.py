@@ -1,0 +1,250 @@
+"""EgoVLP video tower: Frozen-in-Time space-time ViT in flax.
+
+Functional equivalent of run_on_video/egovlp/video_transformer.py
+(SpaceTimeTransformer) + the FrozenInTime video head
+(run_on_video/egovlp/model.py:63-78, compute_video :183-186): a ViT-B/16
+whose blocks run *divided* attention — temporal attention (each patch
+position attends across frames) followed by spatial attention (each frame's
+patches attend within the frame), with the CLS token attending globally in
+both — then a linear projection to the 256-d clip feature the grounding
+stack consumes.
+
+This makes clip-feature extraction TPU-native: the reference extracts on a
+GPU with torch (run_on_video/egovlp_extrator.py:114-137); here the tower is
+jittable/shardable jax, so offline extraction and the online demo both run
+on the TPU mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class EgoVlpConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_frames: int = 4
+    projection_dim: int = 256
+
+
+def _attend(q, k, v):
+    """(B, H, N, d) attention; softmax over keys."""
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k)
+    w = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", w, v)
+
+
+class VarAttention(nn.Module):
+    """Divided attention over one axis (space or time), CLS attends to all
+    (video_transformer.py:80-137).
+
+    Group semantics: tokens are laid out (f, n) frame-major after the CLS
+    token. `over_time=False` groups by frame (spatial attention over the n
+    patches of each frame); `over_time=True` groups by patch position
+    (temporal attention over the f frames at each position).
+    """
+
+    dim: int
+    num_heads: int
+    over_time: bool
+
+    @nn.compact
+    def __call__(self, x, f: int, n: int):
+        b, tokens, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, tokens, h, hd).transpose(0, 2, 1, 3)  # (B,H,N,d)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = q * (hd ** -0.5)
+
+        cls_q, q_ = q[:, :, :1], q[:, :, 1:]
+        cls_k, k_ = k[:, :, :1], k[:, :, 1:]
+        cls_v, v_ = v[:, :, :1], v[:, :, 1:]
+
+        # CLS attends to everything (all frames, all patches + itself)
+        cls_out = _attend(cls_q, k, v)  # (B, H, 1, hd)
+
+        # regroup the patch tokens: (B, H, f*n, hd) -> (B*G, H, S, hd)
+        if self.over_time:
+            # groups = patch positions (n), sequence = frames (f)
+            def group(t):
+                t = t.reshape(b, h, f, n, hd).transpose(0, 3, 1, 2, 4)
+                return t.reshape(b * n, h, f, hd)
+
+            g, s = n, f
+        else:
+            # groups = frames (f), sequence = patches (n)
+            def group(t):
+                t = t.reshape(b, h, f, n, hd).transpose(0, 2, 1, 3, 4)
+                return t.reshape(b * f, h, n, hd)
+
+            g, s = f, n
+
+        q_, k_, v_ = group(q_), group(k_), group(v_)
+        # tile the CLS key/value into every group
+        def tile_cls(t):  # (B, H, 1, hd) -> (B*G, H, 1, hd)
+            return jnp.repeat(t, g, axis=0)
+
+        k_ = jnp.concatenate([tile_cls(cls_k), k_], axis=2)
+        v_ = jnp.concatenate([tile_cls(cls_v), v_], axis=2)
+        out = _attend(q_, k_, v_)  # (B*G, H, S, hd)
+
+        # un-group back to (B, H, f*n, hd) in frame-major order
+        if self.over_time:
+            out = out.reshape(b, n, h, f, hd).transpose(0, 2, 3, 1, 4)
+        else:
+            out = out.reshape(b, f, h, n, hd).transpose(0, 2, 1, 3, 4)
+        out = out.reshape(b, h, f * n, hd)
+
+        out = jnp.concatenate([cls_out, out], axis=2)  # (B, H, tokens, hd)
+        out = out.transpose(0, 2, 1, 3).reshape(b, tokens, d)
+        return nn.Dense(d, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, name="fc2")(x)
+
+
+class SpaceTimeBlock(nn.Module):
+    """timeattn(norm3) -> residual -> spatial attn(norm1) on the time
+    residual, added to the ORIGINAL x ('frozen-in-time' style,
+    video_transformer.py:163-177) -> MLP(norm2)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+
+    @nn.compact
+    def __call__(self, x, f: int, n: int):
+        time_out = VarAttention(self.dim, self.num_heads, over_time=True,
+                                name="timeattn")(nn.LayerNorm(epsilon=1e-6, name="norm3")(x), f, n)
+        time_residual = x + time_out
+        space_out = VarAttention(self.dim, self.num_heads, over_time=False,
+                                 name="attn")(nn.LayerNorm(epsilon=1e-6, name="norm1")(time_residual), f, n)
+        space_residual = x + space_out
+        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
+            nn.LayerNorm(epsilon=1e-6, name="norm2")(space_residual)
+        )
+        return space_residual + mlp_out
+
+
+class SpaceTimeTransformer(nn.Module):
+    """(B, F, H, W, 3) frames -> (B, embed_dim) CLS feature."""
+
+    cfg: EgoVlpConfig
+
+    @nn.compact
+    def __call__(self, frames):
+        c = self.cfg
+        b, f, hh, ww, _ = frames.shape
+        n_side = c.img_size // c.patch_size
+        n = n_side * n_side
+
+        x = nn.Conv(
+            c.embed_dim, (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size), padding="VALID",
+            name="patch_embed",
+        )(frames.reshape(b * f, hh, ww, 3))
+        x = x.reshape(b, f * n, c.embed_dim)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros,
+                               (1, 1, c.embed_dim))
+        pos_embed = self.param("pos_embed", nn.initializers.normal(0.02),
+                               (1, n + 1, c.embed_dim))
+        temporal_embed = self.param("temporal_embed", nn.initializers.zeros,
+                                    (1, c.num_frames, c.embed_dim))
+
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, c.embed_dim)), x],
+                            axis=1)
+        # spatial pos tiled per frame; temporal embed repeated within frame
+        # (video_transformer.py:311-320)
+        tile_pos = jnp.tile(pos_embed[:, 1:], (1, c.num_frames, 1))
+        tile_time = jnp.repeat(temporal_embed, n, axis=1)
+        total = jnp.concatenate([pos_embed[:, :1], tile_pos + tile_time], axis=1)
+        x = x + total[:, : x.shape[1]]
+
+        for i in range(c.depth):
+            x = SpaceTimeBlock(c.embed_dim, c.num_heads, c.mlp_ratio,
+                               name=f"block_{i}")(x, f, n)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x[:, 0]
+
+
+def egovlp_state_dict_to_params(sd: dict, depth: int) -> dict:
+    """Reference FrozenInTime torch weights ('video_model.*' + 'vid_proj.*',
+    optional 'module.' prefixes) -> EgoVlpVideoTower param tree."""
+    import numpy as np  # noqa: F401  (kept for symmetry with other converters)
+
+    def _dense(name):
+        return {"kernel": sd[f"{name}.weight"].T.copy(),
+                "bias": sd[f"{name}.bias"].copy()}
+
+    def _ln(name):
+        return {"scale": sd[f"{name}.weight"].copy(),
+                "bias": sd[f"{name}.bias"].copy()}
+
+    def _attn(name):
+        return {"qkv": _dense(f"{name}.qkv"), "proj": _dense(f"{name}.proj")}
+
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    vm = "video_model"
+    tower = {
+        "patch_embed": {
+            "kernel": sd[f"{vm}.patch_embed.proj.weight"].transpose(2, 3, 1, 0).copy(),
+            "bias": sd[f"{vm}.patch_embed.proj.bias"].copy(),
+        },
+        "cls_token": sd[f"{vm}.cls_token"].copy(),
+        "pos_embed": sd[f"{vm}.pos_embed"].copy(),
+        "temporal_embed": sd[f"{vm}.temporal_embed"].copy(),
+        "norm": _ln(f"{vm}.norm"),
+    }
+    for i in range(depth):
+        blk = f"{vm}.blocks.{i}"
+        tower[f"block_{i}"] = {
+            "norm1": _ln(f"{blk}.norm1"),
+            "norm2": _ln(f"{blk}.norm2"),
+            "norm3": _ln(f"{blk}.norm3"),
+            "attn": _attn(f"{blk}.attn"),
+            "timeattn": _attn(f"{blk}.timeattn"),
+            "mlp": {"fc1": _dense(f"{blk}.mlp.fc1"),
+                    "fc2": _dense(f"{blk}.mlp.fc2")},
+        }
+    out = {"video_model": tower}
+    if any(k.startswith("vid_proj") for k in sd):
+        key = "vid_proj.0" if "vid_proj.0.weight" in sd else "vid_proj"
+        out["vid_proj"] = _dense(key)
+    return out
+
+
+class EgoVlpVideoTower(nn.Module):
+    """SpaceTimeTransformer + the FrozenInTime 'minimal' video projection
+    (model.py:69-71): one clip of frames -> 256-d clip feature."""
+
+    cfg: EgoVlpConfig
+
+    @nn.compact
+    def __call__(self, frames):
+        feat = SpaceTimeTransformer(self.cfg, name="video_model")(frames)
+        return nn.Dense(self.cfg.projection_dim, name="vid_proj")(feat)
