@@ -57,6 +57,9 @@ class TanConfig:
     map_paddings: tuple = (16, 0, 0, 0)
     frame_kernel: int = 1
     frame_stride: int = 1
+    frame_module: str = "avg"        # "avg" | "max" (FrameAvgPool/FrameMaxPool)
+    prop_module: str = "sparse_pool" # "sparse_pool" | "sparse_conv" | "dense_pool"
+    dense_num_layers: int = 16       # PropMaxPool NUM_LAYERS
     adapter_module: str = "linear"
     min_iou: float = 0.3
     max_iou: float = 0.7

@@ -119,6 +119,72 @@ class FrameAvgPool(nn.Module):
         return summed / self.kernel
 
 
+class FrameMaxPool(nn.Module):
+    """1x1 conv + relu + max pool (frame_pool.py:21-30)."""
+
+    hidden_size: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hidden_size, name="vis_conv")(x))
+        # torch MaxPool1d(stride) => kernel=stride, stride=stride
+        return _max_pool1d(x, self.stride, self.stride)
+
+
+class PropMaxPool(nn.Module):
+    """Dense 2D proposal map: diagonal dig_idx fills cell (s, s+dig)
+    (prop_modules/dense.py:4-26)."""
+
+    num_clips: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, l, c = x.shape
+        nc = self.num_clips
+        map_h = jnp.zeros((b, nc, nc, c), x.dtype)
+        mask = np.zeros((nc, nc), np.float32)
+        for dig in range(self.num_layers):
+            if dig > 0:
+                x = _max_pool1d(x, 2, 1)
+            s_idx = list(range(0, nc - dig))
+            e_idx = [s + dig for s in s_idx]
+            map_h = map_h.at[:, jnp.asarray(s_idx), jnp.asarray(e_idx), :].set(
+                x[:, : len(s_idx), :]
+            )
+            mask[s_idx, e_idx] = 1
+        return map_h, jnp.asarray(mask)
+
+
+class SparsePropConv(nn.Module):
+    """Conv variant of the sparse multi-scale cascade
+    (prop_modules/sparse.py:69-125): same scatter layout, learned Conv1d
+    stages instead of max pools."""
+
+    num_clips: int
+    num_scale_layers: Tuple[int, ...]
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, l, c = x.shape
+        layout = sparse_map_layout(self.num_clips, self.num_scale_layers)
+        map_h = jnp.zeros((b, self.num_clips, self.num_clips, self.hidden_size),
+                          x.dtype)
+        for scale_idx, layer_idx, k, s, s_idx, e_idx in layout:
+            x = nn.Conv(
+                self.hidden_size, (k,), strides=(s,), padding="VALID",
+                name=f"conv_{scale_idx}_{layer_idx}",
+            )(x)
+            n = min(len(s_idx), x.shape[1])
+            map_h = map_h.at[:, jnp.asarray(s_idx[:n]), jnp.asarray(e_idx[:n]), :].set(
+                x[:, :n, :]
+            )
+        mask = jnp.asarray(sparse_map_mask(self.num_clips, self.num_scale_layers))
+        return map_h, mask
+
+
 class LstmTextEncoder(nn.Module):
     """Stacked unidirectional LSTM; returns output at the last valid token
     (base_fusion.py:18-22)."""
@@ -195,12 +261,28 @@ class ConeTanModel(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.frame_layer = FrameAvgPool(
-            c.hidden_size, c.frame_kernel, c.frame_stride, name="frame_layer"
-        )
-        self.prop_layer = SparsePropMaxPool(
-            c.num_clips, tuple(c.num_scale_layers), name="prop_layer"
-        )
+        if getattr(c, "frame_module", "avg") == "max":
+            self.frame_layer = FrameMaxPool(
+                c.hidden_size, c.frame_stride, name="frame_layer"
+            )
+        else:
+            self.frame_layer = FrameAvgPool(
+                c.hidden_size, c.frame_kernel, c.frame_stride, name="frame_layer"
+            )
+        prop = getattr(c, "prop_module", "sparse_pool")
+        if prop == "sparse_conv":
+            self.prop_layer = SparsePropConv(
+                c.num_clips, tuple(c.num_scale_layers), c.hidden_size,
+                name="prop_layer",
+            )
+        elif prop == "dense_pool":
+            self.prop_layer = PropMaxPool(
+                c.num_clips, getattr(c, "dense_num_layers", 16), name="prop_layer"
+            )
+        else:
+            self.prop_layer = SparsePropMaxPool(
+                c.num_clips, tuple(c.num_scale_layers), name="prop_layer"
+            )
         self.fusion_layer = BaseFusion(
             c.hidden_size, c.txt_hidden_size, c.lstm_layers, name="fusion_layer"
         )
