@@ -137,6 +137,10 @@ class EvalConfig:
     no_sort_results: bool = False
     # chunk of queries per device batch in the fine stage
     query_chunk: int = 32
+    # fused path: number of (video, query-chunk) work items batched into ONE
+    # device dispatch (vmapped); dispatch round-trips dominate on tunneled
+    # single-chip setups
+    video_batch: int = 4
     # coarse stage via the fused Pallas kernel (ops/pallas_coarse.py) instead
     # of the XLA matmul+reduce. Measured on v5e the XLA path is at least as
     # fast (tools/bench_coarse.py), so this defaults off; the kernel exists

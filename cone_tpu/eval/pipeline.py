@@ -111,6 +111,10 @@ class InferencePipeline:
             return order, win_valid, spans_sec, prob, match
 
         self._fused_fn = jax.jit(fused_fn)
+        # one dispatch for a whole group of (video, chunk) work items
+        self._fused_batch_fn = jax.jit(
+            jax.vmap(fused_fn, in_axes=(None, 0, 0, 0, 0, 0, 0))
+        )
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -243,36 +247,56 @@ class InferencePipeline:
         return toks, tmask, clss
 
     def run_fused(self):
-        """One device dispatch per (video, query chunk): coarse ranking,
-        top-k gather and fine forward fused; batched device postproc.
+        """Fused single-program inference: coarse ranking, top-k gather and
+        fine forward in one jitted fn, `eval.video_batch` (video, chunk)
+        work items vmapped into each dispatch; batched device postproc.
 
         Returns ({"fusion": [...]}, ranklists) like run(host_postproc=False).
         """
         qc = self.cfg.eval.query_chunk
-        k = self.cfg.data.topk_window
-        pending = []
+        vb = max(1, self.cfg.eval.video_batch)
+
+        # flat work list of (chunk, n_win, clip_id)
+        work = []
         for clip_id, exs in self._queries_by_video().items():
-            appear_j, motion_j, ctx_l = self._device_video(clip_id)
-            n_win = num_windows(ctx_l, self.stride)
+            n_win = num_windows(self._device_video(clip_id)[2], self.stride)
             for i in range(0, len(exs), qc):
-                chunk = exs[i : i + qc]
-                toks, tmask, clss = self._chunk_queries(chunk)
-                fut = self._fused_fn(
-                    self.params, appear_j, motion_j, jnp.asarray(ctx_l),
-                    jnp.asarray(toks), jnp.asarray(tmask), jnp.asarray(clss),
-                )
-                pending.append((chunk, n_win, fut))
+                work.append((exs[i : i + qc], n_win, clip_id))
+
+        pending = []
+        for g in range(0, len(work), vb):
+            group = work[g : g + vb]
+            pad = vb - len(group)
+            # pad the group with repeats of its first item; padded rows get
+            # zero query masks so their outputs are dropped
+            stacked = group + [group[0]] * pad
+            appear = jnp.stack([self._device_video(c)[0] for _, _, c in stacked])
+            motion = jnp.stack([self._device_video(c)[1] for _, _, c in stacked])
+            ctx = jnp.asarray([self._device_video(c)[2] for _, _, c in stacked])
+            qs = [self._chunk_queries(chunk if i < len(group) else [])
+                  for i, (chunk, _, _) in enumerate(stacked)]
+            toks = jnp.asarray(np.stack([q[0] for q in qs]))
+            tmask = jnp.asarray(np.stack([q[1] for q in qs]))
+            clss = jnp.asarray(np.stack([q[2] for q in qs]))
+            fut = self._fused_batch_fn(
+                self.params, appear, motion, ctx, toks, tmask, clss
+            )
+            pending.append((group, fut))
 
         ranklists = {}
         rows = []
-        for chunk, n_win, fut in pending:
+        for group, fut in pending:
             order, win_valid, spans_sec, prob, match = jax.device_get(fut)
-            for j, ex in enumerate(chunk):
-                ranklists[ex.query_id] = [int(w) for w in order[j] if w < n_win]
-                rows.append(
-                    dict(example=ex, spans_sec=spans_sec[j], prob=prob[j],
-                         match=match[j], win_valid=win_valid[j])
-                )
+            for v, (chunk, n_win, _) in enumerate(group):
+                for j, ex in enumerate(chunk):
+                    ranklists[ex.query_id] = [
+                        int(w) for w in order[v, j] if w < n_win
+                    ]
+                    rows.append(
+                        dict(example=ex, spans_sec=spans_sec[v, j],
+                             prob=prob[v, j], match=match[v, j],
+                             win_valid=win_valid[v, j])
+                    )
         return {"fusion": self.postprocess_device(rows)}, ranklists
 
     def _queries_by_video(self):
