@@ -266,6 +266,13 @@ def main(argv=None):
     c.set_defaults(fn=cmd_convert_store)
 
     args = p.parse_args(argv)
+    if args.cmd in ("train", "infer"):
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("CONE_TPU_JAX_CACHE",
+                                         "/tmp/cone_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args.fn(args)
 
 
