@@ -104,7 +104,7 @@ def cmd_infer(args):
 
     eval_ds = _open_dataset(cfg, args.eval_path or cfg.data.eval_path)
     res = evaluate(model, params, eval_ds, cfg,
-                   host_postproc=not args.fast_postproc)
+                   host_postproc=not args.fast_postproc, fused=args.fused)
     for t in res["tables"].values():
         print(t)
     out = os.path.join(args.workdir, f"inference_{args.ckpt}_preds.jsonl")
@@ -237,6 +237,9 @@ def main(argv=None):
     i.add_argument("--ego4d_gt",
                    help="official nested Ego4D GT json: also run the"
                         " challenge evaluator")
+    i.add_argument("--fused", action="store_true",
+                   help="single-dispatch fused inference (fastest;"
+                        " device postproc, fusion modality only)")
     i.set_defaults(fn=cmd_infer)
 
     r = sub.add_parser("reformat", help="challenge json -> flat jsonl")

@@ -80,11 +80,13 @@ def _make_pipeline(model, params, eval_ds, cfg, mesh):
 
 
 def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
-             mesh=None, host_postproc: bool = True):
+             mesh=None, host_postproc: bool = True, fused: bool = False):
     """Run inference + metrics on a flat-jsonl-style GT (the dataset's own
     examples). Returns dict with recall tables per modality + window recall."""
     pipe = _make_pipeline(model, params, eval_ds, cfg, mesh)
-    subs, ranklists = pipe.run(host_postproc=host_postproc)
+    subs, ranklists = pipe.run(
+        host_postproc=host_postproc and not fused, fused=fused
+    )
     gt = [dict(query_id=e.query_id, timestamps=e.timestamps) for e in eval_ds.examples]
     if cfg.data.dset_name == "mad":
         thresholds, topk = [0.1, 0.3, 0.5], [1, 5, 10, 50, 100]

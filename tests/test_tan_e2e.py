@@ -87,6 +87,20 @@ def test_tan_training_loss_falls(cfgs, ds, model_and_params):
     assert "loss_adapter" in m
 
 
+def test_tan_fused_matches_staged(cfgs, ds, model_and_params):
+    cone, tan = cfgs
+    model, params = model_and_params
+    pipe = TanInferencePipeline(model, params, ds, cone, tan, proposal_top_k=5)
+    subs1, rank1 = pipe.run(host_postproc=False)
+    subs2, rank2 = pipe.run(host_postproc=False, fused=True)
+    assert rank1 == rank2
+    by_qid = {r["query_id"]: r for r in subs1["fusion"]}
+    for row in subs2["fusion"]:
+        got = np.asarray(row["predicted_times"])
+        want = np.asarray(by_qid[row["query_id"]]["predicted_times"])
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_tan_inference_pipeline(cfgs, ds, model_and_params):
     cone, tan = cfgs
     model, params = model_and_params
