@@ -38,6 +38,10 @@ from cone_tpu.utils.io import min_max_normalize
 
 
 class InferencePipeline:
+    # IoU convention for NMS: CONE uses hull union (utils/temporal_nms.py);
+    # the 2D-TAN pipeline overrides with standard union (lib/core/eval.py:34)
+    nms_hull: bool = True
+
     def __init__(self, model: ConeModel, params, dataset: GroundingDataset,
                  cfg: ConeConfig, mesh=None):
         self.model = model
@@ -146,7 +150,8 @@ class InferencePipeline:
                 return jnp.where(rng > 0, (x - lo) / jnp.where(rng == 0, 1, rng), x)
 
             fused = norm(prop) + norm(match)
-            return temporal_nms_device(spans_sec, fused, valid, nms_thd, max_after)
+            return temporal_nms_device(spans_sec, fused, valid, nms_thd,
+                                       max_after, hull_union=self.nms_hull)
 
         self._device_post_fn = device_post_fn
 
@@ -414,7 +419,8 @@ class InferencePipeline:
                 moments.sort(key=lambda m: m[2], reverse=True)
                 if cfg.nms_thd != -1:
                     kept = temporal_nms_host(
-                        moments[: cfg.max_before_nms], cfg.nms_thd, cfg.max_after_nms
+                        moments[: cfg.max_before_nms], cfg.nms_thd,
+                        cfg.max_after_nms, hull_union=self.nms_hull,
                     )
                     times = [[m[0], m[1]] + ret[(m[0], m[1])] for m in kept]
                 else:

@@ -22,6 +22,8 @@ from cone_tpu.ops.windows import slice_windows
 
 
 class TanInferencePipeline(InferencePipeline):
+    nms_hull = False  # 2D-TAN's nms uses standard union IoU (eval.py:34-56)
+
     def __init__(self, model: ConeTanModel, params, dataset, cfg: ConeConfig,
                  tan_cfg: TanConfig, proposal_top_k: int = 10, mesh=None):
         self.tan_cfg = tan_cfg

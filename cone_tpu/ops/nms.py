@@ -23,23 +23,31 @@ import numpy as np
 NEG_INF = -1e30
 
 
-def _hull_iou_np(head: np.ndarray, rest: np.ndarray) -> np.ndarray:
-    """IoU of `head` (2,) vs `rest` (N, 2) with hull union (reference IoU)."""
+def _iou_np(head: np.ndarray, rest: np.ndarray, hull: bool) -> np.ndarray:
+    """IoU of `head` (2,) vs `rest` (N, 2). hull=True uses the reference's
+    'hull union' max(ed)-min(st) (utils/temporal_nms.py:17-18); hull=False
+    the standard union (the 2D-TAN evaluator, cone_2dtan/lib/core/eval.py:50)."""
     inter = np.maximum(
         0.0, np.minimum(head[1], rest[:, 1]) - np.maximum(head[0], rest[:, 0])
     )
-    union = np.maximum(head[1], rest[:, 1]) - np.minimum(head[0], rest[:, 0])
+    if hull:
+        union = np.maximum(head[1], rest[:, 1]) - np.minimum(head[0], rest[:, 0])
+    else:
+        union = (head[1] - head[0]) + (rest[:, 1] - rest[:, 0]) - inter
     out = np.zeros_like(inter)
     nz = union != 0
     out[nz] = inter[nz] / union[nz]
     return out
 
 
-def temporal_nms_host(predictions, nms_thd: float, max_after_nms: int = 100):
+def temporal_nms_host(predictions, nms_thd: float, max_after_nms: int = 100,
+                      hull_union: bool = True):
     """Greedy NMS over [st, ed, score] triplets; reference-exact.
 
     Args:
         predictions: list of [st, ed, score] (larger score = better).
+        hull_union: IoU convention (True = CONE's temporal_nms, False =
+            2D-TAN's standard-union nms).
     Returns:
         list of kept [st, ed, score], in descending score order, at most
         `max_after_nms` entries.
@@ -55,7 +63,7 @@ def temporal_nms_host(predictions, nms_thd: float, max_after_nms: int = 100):
     while alive.sum() > 1 and len(kept) < max_after_nms:
         cur = idxs[alive][0]
         rest = idxs[alive][1:]
-        iou = _hull_iou_np(arr[cur], arr[rest])
+        iou = _iou_np(arr[cur], arr[rest], hull_union)
         alive[rest[iou > nms_thd]] = False
         alive[cur] = False
         kept.append(cur)
@@ -70,6 +78,7 @@ def temporal_nms_device(
     valid: jnp.ndarray,
     nms_thd: float,
     max_after_nms: int,
+    hull_union: bool = True,
 ):
     """Batched greedy NMS on device.
 
@@ -98,7 +107,10 @@ def temporal_nms_device(
             head_st = st[..., i, None]
             head_ed = ed[..., i, None]
             inter = jnp.clip(jnp.minimum(head_ed, ed) - jnp.maximum(head_st, st), min=0)
-            union = jnp.maximum(head_ed, ed) - jnp.minimum(head_st, st)
+            if hull_union:
+                union = jnp.maximum(head_ed, ed) - jnp.minimum(head_st, st)
+            else:
+                union = (head_ed - head_st) + (ed - st) - inter
             iou = jnp.where(union != 0, inter / jnp.where(union == 0, 1.0, union), 0.0)
             later = jnp.arange(p) > i
             head_alive = keep[..., i, None]
