@@ -114,6 +114,14 @@ class GroundingDataset:
             self._vid_cache[clip_id] = (ap, mo)
         return self._vid_cache[clip_id]
 
+    def prefetch_videos(self, clip_ids) -> None:
+        """Hint the backing store to page-warm upcoming videos (no-op for
+        stores without native prefetch support)."""
+        for store in {id(self.appear): self.appear, id(self.motion): self.motion}.values():
+            fn = getattr(store, "prefetch", None)
+            if fn is not None:
+                fn([c for c in clip_ids if c not in self._vid_cache])
+
     def query_features(self, qid: str):
         """(tokens (<=max_q_l, Dt), cls (Dt,)) L2-normalized."""
         tok = self.text.get_tokens(qid).astype(np.float32)[: self.cfg.max_q_l]

@@ -261,9 +261,13 @@ class InferencePipeline:
         qc = self.cfg.eval.query_chunk
         vb = max(1, self.cfg.eval.video_batch)
 
+        by_video = self._queries_by_video()
+        # page-warm upcoming videos in the native store's prefetch threads
+        self.ds.prefetch_videos(list(by_video))
+
         # flat work list of (chunk, n_win, clip_id)
         work = []
-        for clip_id, exs in self._queries_by_video().items():
+        for clip_id, exs in by_video.items():
             n_win = num_windows(self._device_video(clip_id)[2], self.stride)
             for i in range(0, len(exs), qc):
                 work.append((exs[i : i + qc], n_win, clip_id))

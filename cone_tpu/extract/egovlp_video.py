@@ -24,13 +24,36 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def _shim_parse_config():
+    """The released EgoVLP checkpoint pickles a `parse_config.ConfigParser`
+    object; register a dummy module so torch.load can unpickle (this is the
+    entire reason the reference ships parse_config.py — its header comment
+    says so, parse_config.py:1-5)."""
+    import sys
+    import types
+
+    if "parse_config" in sys.modules:
+        return
+
+    mod = types.ModuleType("parse_config")
+
+    class ConfigParser:  # attributes restored straight from the pickle
+        def __init__(self, *a, **k):
+            pass
+
+    mod.ConfigParser = ConfigParser
+    sys.modules["parse_config"] = mod
+
+
 def load_egovlp_params(checkpoint_path: str, cfg: EgoVlpConfig):
     """Released EgoVLP checkpoint (torch) -> flax param tree."""
     import torch
 
     from cone_tpu.models.egovlp import egovlp_state_dict_to_params
 
-    state = torch.load(checkpoint_path, map_location="cpu")
+    _shim_parse_config()
+    state = torch.load(checkpoint_path, map_location="cpu",
+                       weights_only=False)
     sd = state.get("state_dict", state)
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     return egovlp_state_dict_to_params(sd, depth=cfg.depth)
