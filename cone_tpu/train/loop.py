@@ -120,6 +120,27 @@ def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
     return out
 
 
+def _snapshot_code_version(workdir: str) -> None:
+    """Experiment provenance: record the exact code state (the reference
+    zips the source tree per run, cone/config.py:205-211; a git commit +
+    dirty diff is the same information, cheaper)."""
+    import subprocess
+
+    try:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=root,
+                              capture_output=True, text=True, timeout=10)
+        diff = subprocess.run(["git", "diff", "HEAD"], cwd=root,
+                              capture_output=True, text=True, timeout=10)
+        with open(os.path.join(workdir, "code_version.txt"), "w") as f:
+            f.write(head.stdout)
+            if diff.stdout:
+                f.write("\n--- uncommitted diff ---\n")
+                f.write(diff.stdout)
+    except Exception:
+        pass  # provenance is best-effort (no git in deployment images)
+
+
 def train(
     cfg: ConeConfig,
     train_ds: GroundingDataset,
@@ -132,6 +153,7 @@ def train(
     os.makedirs(workdir, exist_ok=True)
     ckpt = CheckpointManager(workdir, cfg)
     logger = MetricLogger(workdir)
+    _snapshot_code_version(workdir)
 
     model, params = build_family(cfg, seed=cfg.train.seed)
     loader = TrainLoader(train_ds, bsz=cfg.train.bsz, seed=cfg.train.seed)
