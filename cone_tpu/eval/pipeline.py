@@ -109,10 +109,10 @@ class InferencePipeline:
             win_idx = order[:, :topk]
             win_valid = win_idx < (n_valid[:, None] + 0)  # ranked ids < n_win
             win_idx = jnp.where(win_valid, win_idx, 0)
-            spans_sec, prob, match = fine_fn(
+            fine_out = fine_fn(
                 params, appear, motion, ctx_l, win_idx, q_tok, q_mask, q_cls
-            )
-            return order, win_valid, spans_sec, prob, match
+            )  # (spans_sec, prob, match[, cand_valid])
+            return (order, win_valid) + tuple(fine_out)
 
         self._fused_fn = jax.jit(fused_fn)
         # one dispatch for a whole group of (video, chunk) work items
@@ -295,7 +295,8 @@ class InferencePipeline:
         ranklists = {}
         rows = []
         for group, fut in pending:
-            order, win_valid, spans_sec, prob, match = jax.device_get(fut)
+            order, win_valid, spans_sec, prob, match, *rest = jax.device_get(fut)
+            cand_valid = rest[0] if rest else None
             for v, (chunk, n_win, _) in enumerate(group):
                 for j, ex in enumerate(chunk):
                     ranklists[ex.query_id] = [
@@ -304,7 +305,9 @@ class InferencePipeline:
                     rows.append(
                         dict(example=ex, spans_sec=spans_sec[v, j],
                              prob=prob[v, j], match=match[v, j],
-                             win_valid=win_valid[v, j])
+                             win_valid=win_valid[v, j],
+                             cand_valid=None if cand_valid is None
+                             else cand_valid[v, j])
                     )
         return {"fusion": self.postprocess_device(rows)}, ranklists
 
@@ -366,12 +369,14 @@ class InferencePipeline:
         # resolve after dispatching everything (overlap host prep & device)
         out_rows = []
         for chunk, win_valid, fut in pending:
-            spans_sec, prob, match = jax.device_get(fut)
+            spans_sec, prob, match, *rest = jax.device_get(fut)
+            cand_valid = rest[0] if rest else None
             for j, ex in enumerate(chunk):
                 out_rows.append(
                     dict(
                         example=ex, spans_sec=spans_sec[j], prob=prob[j],
                         match=match[j], win_valid=win_valid[j],
+                        cand_valid=None if cand_valid is None else cand_valid[j],
                     )
                 )
         return out_rows
@@ -385,6 +390,7 @@ class InferencePipeline:
         (cone/inference.py:70-91)."""
         cands = []
         k = row["spans_sec"].shape[0]
+        cand_valid = row.get("cand_valid")
         for w in range(k):
             if not row["win_valid"][w]:
                 continue
@@ -393,6 +399,7 @@ class InferencePipeline:
                 [float(sec[q, 0]), float(sec[q, 1]), float(row["prob"][w, q]),
                  float(row["match"][w, q])]
                 for q in range(sec.shape[0])
+                if cand_valid is None or cand_valid[w, q]
             ]
             entries.sort(key=lambda e: e[2], reverse=True)
             entries = [[float(f"{v:.4f}") for v in e] for e in entries]
@@ -410,6 +417,8 @@ class InferencePipeline:
         for row in rows:
             ex = row["example"]
             cands = self.candidates_host(row)
+            if not cands:  # degenerate: no valid window/candidate at all
+                cands = [[0.0, 0.0, 0.0, 0.0]]
             prop_scores = min_max_normalize([c[2] for c in cands])
             match_scores = min_max_normalize([c[3] for c in cands])
             fused = [p + m for p, m in zip(prop_scores, match_scores)]
@@ -450,7 +459,10 @@ class InferencePipeline:
             spans.append(sec.reshape(k * nq, 2))
             props.append(np.round(row["prob"].reshape(-1), 4))
             matches.append(np.round(row["match"].reshape(-1), 4))
-            valids.append(np.repeat(row["win_valid"], nq))
+            valid = np.repeat(row["win_valid"], nq)
+            if row.get("cand_valid") is not None:
+                valid = valid & row["cand_valid"].reshape(-1)
+            valids.append(valid)
             exs.append(row["example"])
         o_spans, o_scores, o_valid = jax.device_get(
             self._device_post_fn(

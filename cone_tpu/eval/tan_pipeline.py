@@ -25,9 +25,21 @@ class TanInferencePipeline(InferencePipeline):
     nms_hull = False  # 2D-TAN's nms uses standard union IoU (eval.py:34-56)
 
     def __init__(self, model: ConeTanModel, params, dataset, cfg: ConeConfig,
-                 tan_cfg: TanConfig, proposal_top_k: int = 10, mesh=None):
+                 tan_cfg: TanConfig, proposal_top_k: int = 10, mesh=None,
+                 nms_within_window: bool = True,
+                 nms_thresh_within_window: float = 0.3,
+                 pre_nms_pool: int = 128):
+        """nms_within_window reproduces TEST.USE_NMS_WITHIN_WINDOW (yaml
+        default True; NMS_THRESH_WITHIN_WINDOW 0.3, lib/core/config.py:105,
+        moment_localization/test.py:285-289): suppress overlapping map cells
+        inside each window before keeping the top `proposal_top_k`. The NMS
+        pool is bounded to the `pre_nms_pool` best cells (the reference
+        scans all ~1.1k; survivors past the 128th never reach the top-10)."""
         self.tan_cfg = tan_cfg
         self.proposal_top_k = proposal_top_k
+        self.nms_within_window = nms_within_window
+        self.nms_thresh_within_window = nms_thresh_within_window
+        self.pre_nms_pool = pre_nms_pool
         super().__init__(model, params, dataset, cfg, mesh=mesh)
 
     def _make_fine_fn(self):
@@ -59,15 +71,32 @@ class TanInferencePipeline(InferencePipeline):
             scores, _ = model.apply({"params": params}, tok, tmask, mo)
             prob = jax.nn.sigmoid(scores).reshape(qc * k, nc * nc)
             prob = jnp.where(cell_mask[None].astype(bool), prob, -1.0)
-            top_prob, top_idx = jax.lax.top_k(prob, top_p)  # (B, P)
-            s_cell = top_idx // nc
-            e_cell = top_idx % nc + 1  # cell (s, e) covers clips [s, e+1)
+
+            if self.nms_within_window:
+                from cone_tpu.ops.nms import temporal_nms_device
+
+                pool = min(self.pre_nms_pool, nc * nc)
+                pool_prob, pool_idx = jax.lax.top_k(prob, pool)
+                ps = (pool_idx // nc).astype(jnp.float32)
+                pe = (pool_idx % nc + 1).astype(jnp.float32)
+                spans_clip, top_prob, cand_valid = temporal_nms_device(
+                    jnp.stack([ps, pe], axis=-1), pool_prob,
+                    pool_prob > 0, self.nms_thresh_within_window, top_p,
+                    hull_union=False,
+                )
+                s_cell = spans_clip[..., 0].astype(jnp.int32)
+                e_cell = spans_clip[..., 1].astype(jnp.int32)
+            else:
+                top_prob, top_idx = jax.lax.top_k(prob, top_p)  # (B, P)
+                s_cell = top_idx // nc
+                e_cell = top_idx % nc + 1  # cell (s, e) covers clips [s, e+1)
+                spans_clip = jnp.stack([s_cell, e_cell], axis=-1).astype(jnp.float32)
+                cand_valid = jnp.ones_like(top_prob, dtype=bool)
 
             matching = model.apply(
                 {"params": params}, cls, ap, s_cell, e_cell,
                 method=ConeTanModel.clip_matching_pred,
             )
-            spans_clip = jnp.stack([s_cell, e_cell], axis=-1).astype(jnp.float32)
             sec = (
                 spans_clip + wstart.reshape(-1)[:, None, None]
             ) * clip_len
@@ -75,6 +104,7 @@ class TanInferencePipeline(InferencePipeline):
                 sec.reshape(qc, k, top_p, 2),
                 top_prob.reshape(qc, k, top_p),
                 matching.reshape(qc, k, top_p),
+                cand_valid.reshape(qc, k, top_p),
             )
 
         return fine_fn
