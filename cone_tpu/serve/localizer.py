@@ -70,6 +70,9 @@ class OnlineLocalizer:
             f"{self.cfg.data.max_ctx_l}"
         )
         self.pipe.ds = self._make_ds(video_feats, token_feats, cls_feat, query)
+        # the device cache keys by clip_id ("v0" every request) — drop it so
+        # a new request never reuses the previous video's features
+        self.pipe.clear_cache()
         subs, _ = self.pipe.run(host_postproc=True)
         times = subs["fusion"][0]["predicted_times"]
         return times[:top_k] if top_k else times

@@ -47,6 +47,17 @@ def test_online_localizer(cfg, rng):
     )
     assert len(out2) >= 1
 
+    # regression: a second request must see ITS OWN video, not the cached
+    # first one — plant the query signal in a distinct segment and check the
+    # top moment lands there
+    video3 = rng.normal(size=(150, DIM)).astype(np.float32)
+    video3[100:120] += 5.0 * cls / np.linalg.norm(cls)
+    video3 = video3 / np.linalg.norm(video3, axis=-1, keepdims=True)
+    out3 = loc.localize(video3, tok, cls / np.linalg.norm(cls))
+    ranked_by_match = sorted(out3, key=lambda t: t[3], reverse=True)
+    st, ed = ranked_by_match[0][0], ranked_by_match[0][1]
+    assert st < 120 and ed > 95, out3
+
 
 def test_top1_generator_clusters():
     rows = [
