@@ -156,6 +156,8 @@ def train(
     _snapshot_code_version(workdir)
 
     model, params = build_family(cfg, seed=cfg.train.seed)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"model: {cfg.model.model_family}, {n_params:,} parameters")
     loader = TrainLoader(train_ds, bsz=cfg.train.bsz, seed=cfg.train.seed)
     tx = make_optimizer(params, cfg.train, loader.steps_per_epoch())
     opt_state = tx.init(params)
@@ -226,6 +228,10 @@ def train(
                 logger.log_text(t)
             score = res["stop_score"]
             logger.log_eval(epoch + 1, score)
+            save_jsonl(
+                res["submissions"]["fusion"],
+                os.path.join(workdir, "latest_preds.jsonl"),
+            )
             if score > best_score:
                 best_score, es_cnt = score, 0
                 ckpt.save("best", params, opt_state, epoch)
