@@ -101,8 +101,6 @@ class InferencePipeline:
         # ranking -> top-k gather -> fine forward, ONE dispatch per
         # (video, query-chunk). Separate coarse/fine calls cost a device
         # round-trip each, which dominates on tunneled single-chip setups.
-        topk = cfg.data.topk_window
-
         def fused_fn(params, appear, motion, ctx_l, q_tok, q_mask, q_cls):
             adapted = adapt_fn(params, appear)
             order, n_valid = coarse_fn(adapted, ctx_l, q_cls)
