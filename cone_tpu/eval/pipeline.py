@@ -113,10 +113,22 @@ class InferencePipeline:
             return (order, win_valid) + tuple(fine_out)
 
         self._fused_fn = jax.jit(fused_fn)
-        # one dispatch for a whole group of (video, chunk) work items
-        self._fused_batch_fn = jax.jit(
-            jax.vmap(fused_fn, in_axes=(None, 0, 0, 0, 0, 0, 0))
-        )
+        # one dispatch for a whole group of (video, chunk) work items; with a
+        # mesh the video-batch axis shards over DP (each chip runs whole
+        # videos — no collectives on the serving path at all)
+        fused_batch = jax.vmap(fused_fn, in_axes=(None, 0, 0, 0, 0, 0, 0))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            vsh = NamedSharding(self.mesh, P("dp"))
+            self._fused_batch_fn = jax.jit(
+                fused_batch,
+                in_shardings=(rep, vsh, vsh, vsh, vsh, vsh, vsh),
+                out_shardings=vsh,
+            )
+        else:
+            self._fused_batch_fn = jax.jit(fused_batch)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

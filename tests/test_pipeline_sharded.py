@@ -43,3 +43,33 @@ def test_sharded_pipeline_matches_single(rng):
         want = np.asarray(ref["predicted_times"], np.float64)
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_sharded_fused_path(rng):
+    """The fused serving path shards its video-batch axis over the mesh."""
+    cfg = ConeConfig(
+        model=ModelConfig(hidden_dim=64, nheads=4, dim_feedforward=128,
+                          t_feat_dim=DIM, v_motion_feat_dim=DIM,
+                          v_appear_feat_dim=DIM, max_q_l=8, max_v_l=32,
+                          adapter_module="none"),
+        data=DataConfig(max_v_l=32, max_q_l=8, clip_length=1.0, topk_window=4,
+                        max_ctx_l=256),
+        eval=EvalConfig(query_chunk=8, video_batch=8),
+    )
+    ds = make_synthetic_dataset(cfg.data, n_videos=8, queries_per_video=2,
+                                ctx_l_range=(100, 200), dim=DIM, signal=3.0,
+                                seed=23)
+    model, params = build_model_and_params(cfg.model, seed=0)
+
+    single = InferencePipeline(model, params, ds, cfg)
+    subs1, rank1 = single.run(host_postproc=False, fused=True)
+    sharded = InferencePipeline(model, params, ds, cfg, mesh=make_mesh(8))
+    subs2, rank2 = sharded.run(host_postproc=False, fused=True)
+
+    assert rank1 == rank2
+    by_qid = {r["query_id"]: r for r in subs1["fusion"]}
+    for row in subs2["fusion"]:
+        got = np.asarray(row["predicted_times"], np.float64)
+        want = np.asarray(by_qid[row["query_id"]]["predicted_times"], np.float64)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-3)
