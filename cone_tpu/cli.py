@@ -269,12 +269,16 @@ def main(argv=None):
     c.set_defaults(fn=cmd_convert_store)
 
     args = p.parse_args(argv)
-    if args.cmd in ("train", "infer"):
+    if args.cmd in ("train", "infer") and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("CONE_TPU_JAX_CACHE",
-                                         "/tmp/cone_tpu_jax_cache"))
+        # namespace the default cache by backend: a shared dir would hand
+        # TPU-compiled executables to CPU processes (and vice versa)
+        cache = os.environ.get(
+            "CONE_TPU_JAX_CACHE",
+            f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}",
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args.fn(args)
 
