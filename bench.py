@@ -33,7 +33,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cone_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig

@@ -15,7 +15,8 @@ import numpy as np
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cone_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}")
 
     from cone_tpu.config import ConeConfig, DataConfig, ModelConfig, TrainConfig
     from cone_tpu.data import make_synthetic_dataset
