@@ -14,8 +14,12 @@ arrays — used by the golden-parity tests.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from cone_tpu.config import ModelConfig
 
@@ -99,30 +103,41 @@ def torch_state_dict_to_params(sd: dict, cfg: ModelConfig) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True)
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--ckpt", required=True, help="reference .ckpt (torch)")
+    ap.add_argument("--out", help="raw params msgpack output path")
+    ap.add_argument("--workdir",
+                    help="instead of --out: write an evaluation-ready workdir"
+                         " (model_converted.msgpack + config.json) for"
+                         " `cone_tpu.cli infer --workdir ... --ckpt converted`")
     ap.add_argument("--config", default=None, help="ConeConfig json (optional)")
     args = ap.parse_args()
+    assert args.out or args.workdir, "need --out or --workdir"
 
     import torch  # local import: conversion host only
     from flax.serialization import msgpack_serialize
 
-    raw = torch.load(args.ckpt, map_location="cpu")
+    raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     sd = raw["model"] if "model" in raw else raw
     sd = {k: v.numpy() for k, v in sd.items()}
 
-    if args.config:
-        from cone_tpu.config import ConeConfig
+    from cone_tpu.config import ConeConfig
 
-        cfg = ConeConfig.load(args.config).model
+    cfg = ConeConfig.load(args.config) if args.config else ConeConfig()
+    params = torch_state_dict_to_params(sd, cfg.model)
+
+    if args.workdir:
+        from cone_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.workdir, cfg)
+        epoch = int(raw.get("epoch", 0)) if isinstance(raw, dict) else 0
+        path = mgr.save("converted", params, None, epoch)
+        print(f"wrote {path} (+ config.json); evaluate with:\n"
+              f"  python -m cone_tpu.cli infer --workdir {args.workdir}"
+              f" --ckpt converted --eval_path <val.jsonl>")
     else:
-        cfg = ModelConfig()
-
-    params = torch_state_dict_to_params(sd, cfg)
-    params = {"params": params}
-    with open(args.out, "wb") as f:
-        f.write(msgpack_serialize(params))
-    print(f"wrote {args.out}")
+        with open(args.out, "wb") as f:
+            f.write(msgpack_serialize({"params": params}))
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
