@@ -98,9 +98,12 @@ class InferencePipeline:
         fine_fn = self._make_fine_fn()
 
         # Fully fused per-chunk program: adapter -> frame scores -> window
-        # ranking -> top-k gather -> fine forward, ONE dispatch per
-        # (video, query-chunk). Separate coarse/fine calls cost a device
-        # round-trip each, which dominates on tunneled single-chip setups.
+        # ranking -> top-k gather -> fine forward -> fusion -> NMS, ONE
+        # dispatch per (video, query-chunk). Separate stage calls cost a
+        # device round-trip each, which dominates on tunneled single-chip
+        # setups.
+        nms_thd_f, max_after_f = cfg.eval.nms_thd, cfg.eval.max_after_nms
+
         def fused_fn(params, appear, motion, ctx_l, q_tok, q_mask, q_cls):
             adapted = adapt_fn(params, appear)
             order, n_valid = coarse_fn(adapted, ctx_l, q_cls)
@@ -110,7 +113,30 @@ class InferencePipeline:
             fine_out = fine_fn(
                 params, appear, motion, ctx_l, win_idx, q_tok, q_mask, q_cls
             )  # (spans_sec, prob, match[, cand_valid])
-            return (order, win_valid) + tuple(fine_out)
+            spans_sec, prob, match = fine_out[:3]
+            qc, k, p = prob.shape
+            valid = jnp.repeat(win_valid, p, axis=1)  # (Qc, K*P)
+            if len(fine_out) > 3:
+                valid = valid & fine_out[3].reshape(qc, k * p)
+
+            # on-device fusion + NMS (same math as device_post_fn, with the
+            # host path's 4-dp rounding)
+            r4 = lambda x: jnp.round(x * 1e4) / 1e4
+            sp = r4(spans_sec.reshape(qc, k * p, 2))
+            pr = r4(prob.reshape(qc, k * p))
+            ma = r4(match.reshape(qc, k * p))
+            big, small = 1e30, -1e30
+
+            def norm(x):
+                lo = jnp.min(jnp.where(valid, x, big), axis=-1, keepdims=True)
+                hi = jnp.max(jnp.where(valid, x, small), axis=-1, keepdims=True)
+                rng = hi - lo
+                return jnp.where(rng > 0, (x - lo) / jnp.where(rng == 0, 1, rng), x)
+
+            fused_score = norm(pr) + norm(ma)
+            kept = temporal_nms_device(sp, fused_score, valid, nms_thd_f,
+                                       max_after_f, hull_union=self.nms_hull)
+            return (order, win_valid) + tuple(kept)
 
         self._fused_fn = jax.jit(fused_fn)
         # one dispatch for a whole group of (video, chunk) work items; with a
@@ -303,23 +329,26 @@ class InferencePipeline:
             pending.append((group, fut))
 
         ranklists = {}
-        rows = []
+        out = []
         for group, fut in pending:
-            order, win_valid, spans_sec, prob, match, *rest = jax.device_get(fut)
-            cand_valid = rest[0] if rest else None
+            order, _, k_spans, k_scores, k_valid = jax.device_get(fut)
             for v, (chunk, n_win, _) in enumerate(group):
                 for j, ex in enumerate(chunk):
                     ranklists[ex.query_id] = [
                         int(w) for w in order[v, j] if w < n_win
                     ]
-                    rows.append(
-                        dict(example=ex, spans_sec=spans_sec[v, j],
-                             prob=prob[v, j], match=match[v, j],
-                             win_valid=win_valid[v, j],
-                             cand_valid=None if cand_valid is None
-                             else cand_valid[v, j])
+                    n = int(k_valid[v, j].sum())
+                    times = [
+                        [float(k_spans[v, j, i, 0]), float(k_spans[v, j, i, 1]),
+                         float(k_scores[v, j, i])]
+                        for i in range(n)
+                    ]
+                    out.append(
+                        dict(query_id=ex.query_id, query=ex.query,
+                             video_id=ex.video_id, clip_id=ex.clip_id,
+                             predicted_times=times)
                     )
-        return {"fusion": self.postprocess_device(rows)}, ranklists
+        return {"fusion": out}, ranklists
 
     def _queries_by_video(self):
         by_vid = defaultdict(list)
