@@ -116,7 +116,6 @@ class TrainConfig:
     lr_drop: int = 120            # epochs between x0.1 lr drops
     n_epoch: int = 150
     bsz: int = 32
-    eval_bsz: int = 32
     grad_clip: float = 0.1
     seed: int = 2018
     eval_epoch_interval: int = 3
@@ -160,9 +159,16 @@ class ConeConfig:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
 
+    # fields that existed in older config snapshots and were since removed;
+    # dropped silently on load so saved opt.json files keep round-tripping
+    _LEGACY_FIELDS = {"train": ("eval_bsz",)}
+
     @classmethod
     def from_json(cls, s: str) -> "ConeConfig":
         raw = json.loads(s)
+        for section, keys in cls._LEGACY_FIELDS.items():
+            for k in keys:
+                raw.get(section, {}).pop(k, None)
         tan_raw = raw.get("tan", {})
         for k in ("num_scale_layers", "map_hidden_sizes", "map_kernel_sizes",
                   "map_paddings"):
@@ -210,5 +216,5 @@ def mad_config() -> ConeConfig:
             dset_name="mad", max_v_l=125, clip_length=0.2, topk_window=30,
             max_ctx_l=65536,
         ),
-        train=TrainConfig(n_epoch=30, lr_drop=25, bsz=32, eval_bsz=16, seed=2020),
+        train=TrainConfig(n_epoch=30, lr_drop=25, bsz=32, seed=2020),
     )

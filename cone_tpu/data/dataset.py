@@ -191,6 +191,15 @@ class GroundingDataset:
         q[: len(tok)] = tok
         q_mask = np.zeros(cfg.max_q_l, np.float32)
         q_mask[: len(tok)] = 1
+        if cfg.txt_drop_ratio > 0:
+            # zero `round(L*ratio)` random token rows (train-time text
+            # dropout; cone/config.py:113-114 — semantics inherited from
+            # Moment-DETR's random_drop_rows). Mask stays 1: rows are
+            # blanked, not removed, exactly like the torch implementation.
+            n_drop = round(len(tok) * cfg.txt_drop_ratio)
+            if n_drop > 0:
+                drop = rng.choice(len(tok), size=n_drop, replace=False)
+                q[drop] = 0.0
 
         nt = cfg.max_windows
         span_labels = np.zeros((nt, 2), np.float32)

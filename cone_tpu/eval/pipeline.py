@@ -425,8 +425,9 @@ class InferencePipeline:
     def candidates_host(self, row) -> List[List[float]]:
         """Flatten one query's (K, NQ) grid into the reference's candidate
         list: windows in ranklist order, proposals sorted by fg prob inside
-        each window, all values rounded to 4 dp
-        (cone/inference.py:70-91)."""
+        each window (unless eval.no_sort_results, cone/inference.py:81-82),
+        all values rounded to 4 dp (cone/inference.py:70-91)."""
+        sort_results = not self.cfg.eval.no_sort_results
         cands = []
         k = row["spans_sec"].shape[0]
         cand_valid = row.get("cand_valid")
@@ -440,7 +441,8 @@ class InferencePipeline:
                 for q in range(sec.shape[0])
                 if cand_valid is None or cand_valid[w, q]
             ]
-            entries.sort(key=lambda e: e[2], reverse=True)
+            if sort_results:
+                entries.sort(key=lambda e: e[2], reverse=True)
             entries = [[float(f"{v:.4f}") for v in e] for e in entries]
             cands.extend(entries)
         return cands

@@ -6,9 +6,10 @@ CLIP image features at a fixed fps, matching the reference pipeline
 batches, one row per frame.
 
 Host-side preprocessing (torch + ffmpeg, out of TPU scope). The EgoVLP
-video tower (divided space-time ViT) is not yet re-implemented; EgoVLP clip
-features extracted with the upstream release convert straight into a .cfs
-store via `cone_tpu.cli convert-store --format pt_dir`.
+video tower (divided space-time ViT) is re-implemented TPU-native in
+models/egovlp.py and driven by extract/egovlp_video.py; alternatively,
+EgoVLP clip features extracted with the upstream release convert straight
+into a .cfs store via `cone_tpu.cli convert-store --format pt_dir`.
 """
 
 from __future__ import annotations

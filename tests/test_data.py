@@ -99,3 +99,32 @@ def test_train_loader_batches(ds):
     # determinism
     b2 = next(iter(TrainLoader(ds, bsz=4, seed=0).epoch(0)))
     np.testing.assert_array_equal(b["pos_motion"], b2["pos_motion"])
+
+
+def test_txt_drop_ratio_zeroes_token_rows():
+    """cfg.txt_drop_ratio blanks round(L*ratio) token rows at train time
+    (cone/config.py:113-114; Moment-DETR random_drop_rows semantics) while
+    leaving the mask and the zero-ratio path untouched."""
+    import dataclasses
+
+    base = DataConfig(dset_name="synthetic", max_v_l=90, clip_length=1.0,
+                      max_q_l=12, topk_window=5)
+    ds0 = make_synthetic_dataset(base, n_videos=2, queries_per_video=3, dim=32,
+                                 seed=3)
+    ds_drop = make_synthetic_dataset(
+        dataclasses.replace(base, txt_drop_ratio=0.5),
+        n_videos=2, queries_per_video=3, dim=32, seed=3)
+
+    s0 = ds0.sample_train(0, np.random.default_rng(7))
+    s1 = ds_drop.sample_train(0, np.random.default_rng(7))
+    n_tok = int(s0["query_mask"].sum())
+    tok0 = s0["query_tokens"][:n_tok]
+    tok1 = s1["query_tokens"][:n_tok]
+    zeroed = np.all(tok1 == 0, axis=1) & ~np.all(tok0 == 0, axis=1)
+    assert zeroed.sum() == round(n_tok * 0.5)
+    # non-dropped rows identical, mask unchanged (rows blanked, not removed)
+    np.testing.assert_array_equal(tok1[~zeroed], tok0[~zeroed])
+    np.testing.assert_array_equal(s1["query_mask"], s0["query_mask"])
+    # deterministic given the same seeded rng
+    s1b = ds_drop.sample_train(0, np.random.default_rng(7))
+    np.testing.assert_array_equal(s1b["query_tokens"], s1["query_tokens"])

@@ -170,3 +170,34 @@ def test_ego4d_evaluator_nested_format(ds):
     ]
     results, miou = evaluate_ego4d_nlq(bad, gt, [0.3, 0.5], [1, 5])
     np.testing.assert_allclose(results, 0.0)
+
+
+def test_no_sort_results_skips_within_window_sort(cfg, ds):
+    """eval.no_sort_results keeps candidates in raw proposal order inside
+    each window (cone/inference.py:81-82): same candidate multiset, possibly
+    different order, downstream fusion unaffected by the dict dedup."""
+    import dataclasses
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    cfg_ns = cfg.replace(eval=dataclasses.replace(cfg.eval, no_sort_results=True))
+    pipe_sorted = InferencePipeline(model, params, ds, cfg)
+    pipe_raw = InferencePipeline(model, params, ds, cfg_ns)
+
+    rank = pipe_sorted.coarse()
+    rows_s = pipe_sorted.fine(rank)
+    rows_r = pipe_raw.fine(rank)
+
+    saw_order_diff = False
+    for rs, rr in zip(rows_s, rows_r):
+        cs = pipe_sorted.candidates_host(rs)
+        cr = pipe_raw.candidates_host(rr)
+        assert sorted(map(tuple, cs)) == sorted(map(tuple, cr))
+        # sorted path is non-increasing in fg prob within each window
+        k = int(rs["win_valid"].sum())
+        nq = rs["prob"].shape[1]
+        for w in range(k):
+            probs = [c[2] for c in cs[w * nq : (w + 1) * nq]]
+            assert probs == sorted(probs, reverse=True)
+        if cs != cr:
+            saw_order_diff = True
+    assert saw_order_diff, "expected at least one within-window order change"
