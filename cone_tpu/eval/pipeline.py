@@ -115,9 +115,21 @@ class InferencePipeline:
             )  # (spans_sec, prob, match[, cand_valid])
             spans_sec, prob, match = fine_out[:3]
             qc, k, p = prob.shape
+            cand_valid = fine_out[3] if len(fine_out) > 3 else None
+            if not cfg.eval.no_sort_results:
+                # mirror the host candidate order — fg-prob descending within
+                # each window (cone/inference.py:81-82) — so the stable-sort
+                # tie-break inside NMS agrees with the host path when rounded
+                # modality scores tie across near-duplicate proposals
+                ordp = jnp.argsort(-prob, axis=-1, stable=True)  # (Qc, K, P)
+                spans_sec = jnp.take_along_axis(spans_sec, ordp[..., None], axis=-2)
+                prob = jnp.take_along_axis(prob, ordp, axis=-1)
+                match = jnp.take_along_axis(match, ordp, axis=-1)
+                if cand_valid is not None:
+                    cand_valid = jnp.take_along_axis(cand_valid, ordp, axis=-1)
             valid = jnp.repeat(win_valid, p, axis=1)  # (Qc, K*P)
-            if len(fine_out) > 3:
-                valid = valid & fine_out[3].reshape(qc, k * p)
+            if cand_valid is not None:
+                valid = valid & cand_valid.reshape(qc, k * p)
 
             # on-device fusion + NMS (same math as device_post_fn, with the
             # host path's 4-dp rounding)
@@ -134,9 +146,16 @@ class InferencePipeline:
                 return jnp.where(rng > 0, (x - lo) / jnp.where(rng == 0, 1, rng), x)
 
             fused_score = norm(pr) + norm(ma)
-            kept = temporal_nms_device(sp, fused_score, valid, nms_thd_f,
-                                       max_after_f, hull_union=self.nms_hull)
-            return (order, win_valid) + tuple(kept)
+            # all three scoring modalities (fusion / proposal / matching),
+            # NMS'd independently like the host path's three submissions
+            # (cone/inference.py:322-331); the extra two NMS passes are
+            # negligible next to the fine forward.
+            out = (order, win_valid)
+            for score in (fused_score, pr, ma):
+                out += tuple(temporal_nms_device(
+                    sp, score, valid, nms_thd_f, max_after_f,
+                    hull_union=self.nms_hull))
+            return out
 
         self._fused_fn = jax.jit(fused_fn)
         # one dispatch for a whole group of (video, chunk) work items; with a
@@ -292,7 +311,9 @@ class InferencePipeline:
         fine forward in one jitted fn, `eval.video_batch` (video, chunk)
         work items vmapped into each dispatch; batched device postproc.
 
-        Returns ({"fusion": [...]}, ranklists) like run(host_postproc=False).
+        Returns ({"fusion": [...], "proposal": [...], "matching": [...]},
+        ranklists) — all three scoring modalities like the host path
+        (cone/inference.py:322-331).
         """
         qc = self.cfg.eval.query_chunk
         vb = max(1, self.cfg.eval.video_batch)
@@ -329,26 +350,31 @@ class InferencePipeline:
             pending.append((group, fut))
 
         ranklists = {}
-        out = []
+        names = ("fusion", "proposal", "matching")
+        out = {name: [] for name in names}
         for group, fut in pending:
-            order, _, k_spans, k_scores, k_valid = jax.device_get(fut)
+            res = jax.device_get(fut)
+            order = res[0]
             for v, (chunk, n_win, _) in enumerate(group):
                 for j, ex in enumerate(chunk):
                     ranklists[ex.query_id] = [
                         int(w) for w in order[v, j] if w < n_win
                     ]
-                    n = int(k_valid[v, j].sum())
-                    times = [
-                        [float(k_spans[v, j, i, 0]), float(k_spans[v, j, i, 1]),
-                         float(k_scores[v, j, i])]
-                        for i in range(n)
-                    ]
-                    out.append(
-                        dict(query_id=ex.query_id, query=ex.query,
-                             video_id=ex.video_id, clip_id=ex.clip_id,
-                             predicted_times=times)
-                    )
-        return {"fusion": out}, ranklists
+                    for m, name in enumerate(names):
+                        k_spans, k_scores, k_valid = res[2 + 3 * m : 5 + 3 * m]
+                        n = int(k_valid[v, j].sum())
+                        times = [
+                            [float(k_spans[v, j, i, 0]),
+                             float(k_spans[v, j, i, 1]),
+                             float(k_scores[v, j, i])]
+                            for i in range(n)
+                        ]
+                        out[name].append(
+                            dict(query_id=ex.query_id, query=ex.query,
+                                 video_id=ex.video_id, clip_id=ex.clip_id,
+                                 predicted_times=times)
+                        )
+        return out, ranklists
 
     def _queries_by_video(self):
         by_vid = defaultdict(list)
