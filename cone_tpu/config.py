@@ -45,7 +45,7 @@ class TanConfig:
     """CONE-TAN (2D-TAN head) hyperparameters; defaults follow the reference
     experiment yaml (cone_2dtan/experiments/ego4d/*.yaml)."""
 
-    num_clips: int = 64          # window length after frame pooling
+    num_clips: int = 64          # map size after frame pooling (= NUM_SAMPLE_CLIPS / TARGET_STRIDE)
     hidden_size: int = 256
     v_feat_dim: int = 256
     t_feat_dim: int = 768
@@ -55,6 +55,10 @@ class TanConfig:
     map_hidden_sizes: tuple = (256, 256, 256, 256)
     map_kernel_sizes: tuple = (9, 9, 9, 9)
     map_paddings: tuple = (16, 0, 0, 0)
+    # frame pooling = the reference's TARGET_STRIDE: the raw window is
+    # num_clips * frame_stride clips (DATASET.NUM_SAMPLE_CLIPS) and must
+    # equal data.max_v_l. Ego4D yaml: stride 1 (64 -> 64); MAD yaml:
+    # kernel=stride=2 (128 -> 64x64 map).
     frame_kernel: int = 1
     frame_stride: int = 1
     frame_module: str = "avg"        # "avg" | "max" (FrameAvgPool/FrameMaxPool)
@@ -114,6 +118,10 @@ class TrainConfig:
     coef_lr: float = 0.1          # adapter lr multiplier
     wd: float = 1e-4
     lr_drop: int = 120            # epochs between x0.1 lr drops
+    # TAN family only: ReduceLROnPlateau on the eval stop score
+    # (cone_2dtan/moment_localization/train.py:143-147, config.py:75-76)
+    plateau_factor: float = 0.8
+    plateau_patience: int = 20
     n_epoch: int = 150
     bsz: int = 32
     grad_clip: float = 0.1
@@ -204,6 +212,43 @@ def ego4d_config() -> ConeConfig:
             max_ctx_l=2304,
         ),
         train=TrainConfig(n_epoch=150, lr_drop=120, bsz=32, start_epoch_for_adapter=30),
+    )
+
+
+def tan_ego4d_config() -> ConeConfig:
+    """Canonical 2D-TAN Ego4D config (cone_2dtan/experiments/ego4d/
+    2D-TAN-64x64-K9L4-pool-sw-0.5bias-nms-con-match-adapt.yaml): window 64
+    @0.535 s EgoVLP features, stride-1 frame pooling -> 64x64 map."""
+    return ConeConfig(
+        model=ModelConfig(model_family="tan"),
+        data=DataConfig(
+            dset_name="ego4d", max_v_l=64, clip_length=0.535, topk_window=20,
+            max_ctx_l=2304,
+        ),
+        train=TrainConfig(n_epoch=8, bsz=32, lr=1e-4, wd=0.0),
+        tan=TanConfig(num_clips=64, v_feat_dim=256, t_feat_dim=768,
+                      frame_kernel=1, frame_stride=1),
+    )
+
+
+def tan_mad_config() -> ConeConfig:
+    """Canonical 2D-TAN MAD config (cone_2dtan/experiments/mad/
+    2D-TAN-64x64-K9L4-pool-sw-0.5bias-nms-con-match.yaml): window
+    NUM_SAMPLE_CLIPS=128 @0.2 s CLIP features, TARGET_STRIDE=2 frame
+    avg-pooling -> 64x64 map."""
+    return ConeConfig(
+        # adapter off end-to-end: MODEL.ADAPTER defaults to '' and the yaml
+        # sets ADAPTER_LOSS: False (coarse stage then ranks raw features)
+        model=ModelConfig(model_family="tan", adapter_module="none"),
+        loss=LossConfig(adapter_loss=False),
+        data=DataConfig(
+            dset_name="mad", max_v_l=128, clip_length=0.2, topk_window=30,
+            max_ctx_l=65536,
+        ),
+        train=TrainConfig(n_epoch=8, bsz=32, lr=1e-4, wd=0.0),
+        tan=TanConfig(num_clips=64, v_feat_dim=512, t_feat_dim=512,
+                      txt_hidden_size=256, frame_kernel=2, frame_stride=2,
+                      adapter_module="none"),  # MODEL.ADAPTER defaults ''
     )
 
 

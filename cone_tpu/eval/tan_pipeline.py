@@ -49,7 +49,15 @@ class TanInferencePipeline(InferencePipeline):
         clip_len = cfg.data.clip_length
         top_p = self.proposal_top_k
         nc = self.tan_cfg.num_clips
-        assert nc == max_v_l, "TAN num_clips must equal the window length"
+        # TARGET_STRIDE geometry: the raw window is num_clips * frame_stride
+        # clips; the frame layer pools it to num_clips map cells
+        # (cone_2dtan/lib/datasets/mad.py:150-153 — ego4d stride 1, mad
+        # stride 2 with NUM_SAMPLE_CLIPS 128 -> 64x64 map).
+        stride_t = self.tan_cfg.frame_stride
+        assert nc * stride_t == max_v_l, (
+            f"TAN num_clips*frame_stride ({nc}*{stride_t}) must equal the "
+            f"window length ({max_v_l})"
+        )
         cell_mask = jnp.asarray(
             sparse_map_mask(nc, self.tan_cfg.num_scale_layers).reshape(-1)
         )
@@ -93,12 +101,16 @@ class TanInferencePipeline(InferencePipeline):
                 spans_clip = jnp.stack([s_cell, e_cell], axis=-1).astype(jnp.float32)
                 cand_valid = jnp.ones_like(top_prob, dtype=bool)
 
+            # map cells -> raw clip units: x TARGET_STRIDE
+            # (moment_localization/test.py:293,426); matching pools the raw
+            # appearance window over the scaled proposal.
             matching = model.apply(
-                {"params": params}, cls, ap, s_cell, e_cell,
+                {"params": params}, cls, ap, s_cell * stride_t,
+                e_cell * stride_t,
                 method=ConeTanModel.clip_matching_pred,
             )
             sec = (
-                spans_clip + wstart.reshape(-1)[:, None, None]
+                spans_clip * stride_t + wstart.reshape(-1)[:, None, None]
             ) * clip_len
             return (
                 sec.reshape(qc, k, top_p, 2),

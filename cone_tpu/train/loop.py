@@ -54,14 +54,21 @@ def build_family(cfg: ConeConfig, seed: int):
         from cone_tpu.models.tan import ConeTanModel
 
         tan = cfg.tan
+        assert tan.num_clips * tan.frame_stride == cfg.data.max_v_l, (
+            f"TAN geometry: num_clips*frame_stride ({tan.num_clips}*"
+            f"{tan.frame_stride}) must equal data.max_v_l ({cfg.data.max_v_l})"
+            " — the raw window is NUM_SAMPLE_CLIPS = num_clips*TARGET_STRIDE"
+        )
         model = ConeTanModel(tan)
         var = model.init(
             {"params": jax.random.PRNGKey(seed)},
             jnp.zeros((2, cfg.data.max_q_l, tan.t_feat_dim)),
             jnp.ones((2, cfg.data.max_q_l)),
-            jnp.zeros((2, tan.num_clips, tan.v_feat_dim)),
+            # raw window length = num_clips * frame_stride (TARGET_STRIDE);
+            # the frame layer pools it down to num_clips map cells
+            jnp.zeros((2, tan.num_clips * tan.frame_stride, tan.v_feat_dim)),
             jnp.zeros((2, tan.v_feat_dim)),
-            jnp.zeros((2, tan.num_clips, tan.v_feat_dim)),
+            jnp.zeros((2, tan.num_clips * tan.frame_stride, tan.v_feat_dim)),
             method=ConeTanModel.init_all,
         )
         return model, var["params"]
@@ -159,15 +166,23 @@ def train(
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model: {cfg.model.model_family}, {n_params:,} parameters")
     loader = TrainLoader(train_ds, bsz=cfg.train.bsz, seed=cfg.train.seed)
-    tx = make_optimizer(params, cfg.train, loader.steps_per_epoch())
-    opt_state = tx.init(params)
+    plateau = None
     if cfg.model.model_family == "tan":
+        from cone_tpu.train.optim import ReduceLROnPlateau, make_tan_optimizer
         from cone_tpu.train.tan_step import make_tan_train_step
 
+        # TAN family: Adam + ReduceLROnPlateau on the stop score
+        # (cone_2dtan/moment_localization/train.py:143-147)
+        tx = make_tan_optimizer(cfg.train)
+        opt_state = tx.init(params)
+        plateau = ReduceLROnPlateau(factor=cfg.train.plateau_factor,
+                                    patience=cfg.train.plateau_patience)
         step_fn = make_tan_train_step(
             model, tx, cfg.tan, use_neg_loss=cfg.loss.neg_loss, mesh=mesh
         )
     else:
+        tx = make_optimizer(params, cfg.train, loader.steps_per_epoch())
+        opt_state = tx.init(params)
         step_fn = make_train_step(model, tx, cfg, mesh=mesh)
 
     start_epoch = 0
@@ -227,7 +242,11 @@ def train(
             for t in res["tables"].values():
                 logger.log_text(t)
             score = res["stop_score"]
-            logger.log_eval(epoch + 1, score)
+            lr_now = None
+            if plateau is not None:
+                opt_state, lr_now = plateau.step(score, opt_state)
+                epoch_log["lr"] = lr_now
+            logger.log_eval(epoch + 1, score, lr=lr_now)
             save_jsonl(
                 res["submissions"]["fusion"],
                 os.path.join(workdir, "latest_preds.jsonl"),

@@ -39,11 +39,13 @@ def make_tan_train_step(model: ConeTanModel, tx, tan_cfg: TanConfig,
             variables, batch["query_tokens"], batch["query_mask"],
             batch["pos_motion"],
         )
-        # window-local GT span in clip units, from the normalized cxw label
+        # window-local GT span in clip units, from the normalized cxw label;
+        # IoU targets live on the pooled map grid, so positions divide by
+        # TARGET_STRIDE (cone_2dtan/lib/datasets/mad.py:150-153)
         c, w = batch["span_labels"][:, 0, 0], batch["span_labels"][:, 0, 1]
         wl = batch["video_length"].astype(jnp.float32)
-        start_pos = (c - w / 2) * wl
-        end_pos = (c + w / 2) * wl
+        start_pos = (c - w / 2) * wl / tan_cfg.frame_stride
+        end_pos = (c + w / 2) * wl / tan_cfg.frame_stride
         targets = iou_target_map_jnp(tan_cfg.num_clips, start_pos, end_pos)
         loss, _ = bce_rescale_loss(
             pos_scores, map_mask, targets,

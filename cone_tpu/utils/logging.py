@@ -49,14 +49,18 @@ class MetricLogger:
                 if isinstance(v, (int, float)) and k != "epoch":
                     self._tb.add_scalar(f"Train/{k}", v, record["epoch"])
 
-    def log_eval(self, epoch: int, stop_score: float) -> None:
+    def log_eval(self, epoch: int, stop_score: float, lr: float = None) -> None:
         rec = {
             "ts": time.time(), "kind": "eval", "epoch": epoch,
             "stop_score": stop_score,
         }
+        if lr is not None:
+            rec["lr"] = lr
         self._append(self.jsonl_path, json.dumps(rec))
         if self._tb:
             self._tb.add_scalar("Eval/stop_score", stop_score, epoch)
+            if lr is not None:
+                self._tb.add_scalar("Train/lr", lr, epoch)
 
     def log_text(self, text: str) -> None:
         self._append(self.eval_path, text)

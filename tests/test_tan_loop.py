@@ -50,3 +50,43 @@ def test_tan_family_train_loop(cfg, tmp_path):
     cfg2 = CheckpointManager.load_config(workdir)
     assert cfg2.model.model_family == "tan"
     assert cfg2.tan.num_scale_layers == (8, 4)
+
+
+def test_tan_optimizer_plateau_reduces_lr():
+    """TAN family uses Adam + ReduceLROnPlateau (cone_2dtan train.py:143-147,
+    factor 0.8 / patience 20): the injected lr drops by `factor` after
+    `patience`+1 evals without improvement, and the smaller lr actually
+    shrinks the applied updates."""
+    import jax
+    import jax.numpy as jnp
+
+    from cone_tpu.train.optim import ReduceLROnPlateau, make_tan_optimizer
+
+    cfg = TrainConfig(lr=1e-3)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx = make_tan_optimizer(cfg)
+    opt_state = tx.init(params)
+    sched = ReduceLROnPlateau(factor=0.8, patience=2)
+
+    # improving scores: lr untouched
+    for s in [0.1, 0.2, 0.3]:
+        opt_state, lr = sched.step(s, opt_state)
+        assert lr == pytest.approx(1e-3)
+
+    # plateau: patience=2 tolerated evals, the 3rd bad eval drops the lr
+    for i, s in enumerate([0.3, 0.3, 0.3]):
+        opt_state, lr = sched.step(s, opt_state)
+    assert lr == pytest.approx(0.8e-3)
+    # and again after another full patience window
+    for s in [0.3, 0.3, 0.3]:
+        opt_state, lr = sched.step(s, opt_state)
+    assert lr == pytest.approx(0.64e-3)
+
+    # the injected lr drives the actual update magnitude
+    grads = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    up_small, _ = tx.update(grads, opt_state, params)
+    sched2 = ReduceLROnPlateau()
+    opt2 = tx.init(params)
+    up_full, _ = tx.update(grads, opt2, params)
+    ratio = float(jnp.abs(up_small["w"]).mean() / jnp.abs(up_full["w"]).mean())
+    assert ratio == pytest.approx(0.64, rel=1e-3)
