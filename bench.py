@@ -106,6 +106,17 @@ def main():
     vmask = jnp.ones((1, cfg.data.max_v_l), jnp.float32)
     tokj, tmaskj = jnp.asarray(tokp), jnp.asarray(tmask)
 
+    # ---- device-only accounting: MFU + HBM utilization -------------------
+    from cone_tpu.utils.perf import device_time_fused, perf_report
+
+    dev_s_per_q, per_pass = device_time_fused(pipe, n_queries, repeats=5)
+    perf = perf_report(cfg, cfg.data.max_ctx_l, n_queries, dev_s_per_q,
+                       wall_qps=qps)
+    log(f"device-only: {per_pass * 1e3:.1f} ms/pass -> {perf['device_qps']} q/s"
+        f" | {perf['flops_per_query'] / 1e9:.2f} GFLOP/q"
+        f" (fine {perf['flops_fine_frac'] * 100:.0f}%)"
+        f" | MFU {perf['mfu'] * 100:.2f}% | HBM {perf['hbm_util'] * 100:.1f}%")
+
     jax.block_until_ready(one_window(params, tokj, tmaskj, vid, vmask))
     # async-pipelined loop: a LOWER bound on the reference's cost (its real
     # loop synchronizes per batch for host post-processing), so vs_baseline
@@ -126,6 +137,7 @@ def main():
         "value": round(qps, 2),
         "unit": "queries/sec",
         "vs_baseline": round(qps / baseline_qps, 2),
+        **perf,
     }))
 
 

@@ -144,6 +144,11 @@ class EvalConfig:
     no_sort_results: bool = False
     # chunk of queries per device batch in the fine stage
     query_chunk: int = 32
+    # context-length buckets: each video pads to the smallest bucket that
+    # fits (falling back to data.max_ctx_l) instead of always max_ctx_l.
+    # One compiled program per bucket; cuts the coarse-stage compute/HBM
+    # tax at MAD scale. Empty = single max_ctx_l shape.
+    ctx_buckets: tuple = ()
     # fused path: number of (video, query-chunk) work items batched into ONE
     # device dispatch (vmapped); dispatch round-trips dominate on tunneled
     # single-chip setups
@@ -177,6 +182,9 @@ class ConeConfig:
         for section, keys in cls._LEGACY_FIELDS.items():
             for k in keys:
                 raw.get(section, {}).pop(k, None)
+        eval_raw = raw.get("eval", {})
+        if "ctx_buckets" in eval_raw:
+            eval_raw["ctx_buckets"] = tuple(eval_raw["ctx_buckets"])
         tan_raw = raw.get("tan", {})
         for k in ("num_scale_layers", "map_hidden_sizes", "map_kernel_sizes",
                   "map_paddings"):
@@ -262,4 +270,7 @@ def mad_config() -> ConeConfig:
             max_ctx_l=65536,
         ),
         train=TrainConfig(n_epoch=30, lr_drop=25, bsz=32, seed=2020),
+        # bucketed padding: a standard 2 h @ 5 fps movie (~36k clips) pads to
+        # 36864 instead of 65536 — ~1.8x less coarse-stage compute/HBM
+        eval=EvalConfig(ctx_buckets=(8192, 16384, 24576, 36864, 49152)),
     )

@@ -60,7 +60,7 @@ class InferencePipeline:
         cfg = self.cfg
         model = self.model
         stride, max_v_l = self.stride, cfg.data.max_v_l
-        max_w, topk = self.max_w, cfg.data.topk_window
+        topk = cfg.data.topk_window
 
         @jax.jit
         def adapt_fn(params, feats):
@@ -76,7 +76,12 @@ class InferencePipeline:
 
         @jax.jit
         def coarse_fn(adapted, ctx_l, cls_batch):
-            """(Lmax, D), scalar, (Qc, D) -> ranked window ids (Qc, max_w)."""
+            """(Lmax, D), scalar, (Qc, D) -> ranked window ids (Qc, n_w).
+
+            n_w derives from the *padded* length, so bucketed context
+            lengths (eval.ctx_buckets) each compile their own right-sized
+            program instead of all paying for max_ctx_l."""
+            max_w = num_windows(adapted.shape[0], stride)
             if cfg.eval.use_pallas_coarse:
                 from cone_tpu.ops.pallas_coarse import (
                     coarse_segment_max, window_scores_from_segment_max,
@@ -262,13 +267,24 @@ class InferencePipeline:
 
     # ------------------------------------------------------------- stages
 
+    def _bucket_len(self, ctx_l: int) -> int:
+        """Padded length for a video: the smallest ctx bucket that fits, or
+        max_ctx_l. Buckets cut the coarse-stage compute/HBM tax of padding
+        every video to the corpus maximum (a 2 h MAD movie is ~36k clips vs
+        max_ctx_l 65536); each bucket shape compiles its own program once."""
+        for b in sorted(self.cfg.eval.ctx_buckets):
+            if ctx_l <= b:
+                return int(b)
+        return self.max_ctx
+
     def _padded_video(self, clip_id):
         appear, motion = self.ds.video_features(clip_id)
         ctx_l = len(appear)
         assert ctx_l <= self.max_ctx, (clip_id, ctx_l, self.max_ctx)
+        l_pad = self._bucket_len(ctx_l)
 
         def pad(x):
-            out = np.zeros((self.max_ctx, x.shape[1]), np.float32)
+            out = np.zeros((l_pad, x.shape[1]), np.float32)
             out[:ctx_l] = x
             return out
 
@@ -315,38 +331,9 @@ class InferencePipeline:
         ranklists) — all three scoring modalities like the host path
         (cone/inference.py:322-331).
         """
-        qc = self.cfg.eval.query_chunk
-        vb = max(1, self.cfg.eval.video_batch)
-
-        by_video = self._queries_by_video()
-        # page-warm upcoming videos in the native store's prefetch threads
-        self.ds.prefetch_videos(list(by_video))
-
-        # flat work list of (chunk, n_win, clip_id)
-        work = []
-        for clip_id, exs in by_video.items():
-            n_win = num_windows(self._device_video(clip_id)[2], self.stride)
-            for i in range(0, len(exs), qc):
-                work.append((exs[i : i + qc], n_win, clip_id))
-
         pending = []
-        for g in range(0, len(work), vb):
-            group = work[g : g + vb]
-            pad = vb - len(group)
-            # pad the group with repeats of its first item; padded rows get
-            # zero query masks so their outputs are dropped
-            stacked = group + [group[0]] * pad
-            appear = jnp.stack([self._device_video(c)[0] for _, _, c in stacked])
-            motion = jnp.stack([self._device_video(c)[1] for _, _, c in stacked])
-            ctx = jnp.asarray([self._device_video(c)[2] for _, _, c in stacked])
-            qs = [self._chunk_queries(chunk if i < len(group) else [])
-                  for i, (chunk, _, _) in enumerate(stacked)]
-            toks = jnp.asarray(np.stack([q[0] for q in qs]))
-            tmask = jnp.asarray(np.stack([q[1] for q in qs]))
-            clss = jnp.asarray(np.stack([q[2] for q in qs]))
-            fut = self._fused_batch_fn(
-                self.params, appear, motion, ctx, toks, tmask, clss
-            )
+        for group, inputs in self._fused_groups():
+            fut = self._fused_batch_fn(self.params, *inputs)
             pending.append((group, fut))
 
         ranklists = {}
@@ -375,6 +362,62 @@ class InferencePipeline:
                                  predicted_times=times)
                         )
         return out, ranklists
+
+    def _fused_groups(self):
+        """Yield (group, device_inputs) per fused dispatch.
+
+        group = list of (query_chunk_examples, n_win, clip_id), at most
+        eval.video_batch items, all sharing one padded bucket length;
+        device_inputs = (appear, motion, ctx, toks, tmask, clss) staged on
+        device, group padded to video_batch rows (padded rows repeat the
+        first item with zero query masks so their outputs are dropped).
+        Exposed for device-time benchmarking (bench.py) as well.
+        """
+        qc = self.cfg.eval.query_chunk
+        vb = max(1, self.cfg.eval.video_batch)
+
+        by_video = self._queries_by_video()
+        # page-warm upcoming videos in the native store's prefetch threads
+        self.ds.prefetch_videos(list(by_video))
+
+        # flat work list of (chunk, n_win, clip_id), grouped by the video's
+        # padded bucket length so each vmapped dispatch stacks same-shape
+        # videos (mixed buckets can't share one program)
+        work = []
+        for clip_id, exs in by_video.items():
+            n_win = num_windows(self._device_video(clip_id)[2], self.stride)
+            for i in range(0, len(exs), qc):
+                work.append((exs[i : i + qc], n_win, clip_id))
+
+        groups = []
+        if self.cfg.eval.ctx_buckets:
+            work.sort(key=lambda w: self._device_video(w[2])[0].shape[0])
+            bucket_of = lambda w: self._device_video(w[2])[0].shape[0]
+            # contiguous same-bucket runs, each chopped into vb-sized groups
+            run = []
+            for w in work:
+                if run and bucket_of(w) != bucket_of(run[0]):
+                    groups.extend(run[i : i + vb] for i in range(0, len(run), vb))
+                    run = []
+                run.append(w)
+            if run:
+                groups.extend(run[i : i + vb] for i in range(0, len(run), vb))
+        else:
+            for g in range(0, len(work), vb):
+                groups.append(work[g : g + vb])
+
+        for group in groups:
+            pad = vb - len(group)
+            stacked = group + [group[0]] * pad
+            appear = jnp.stack([self._device_video(c)[0] for _, _, c in stacked])
+            motion = jnp.stack([self._device_video(c)[1] for _, _, c in stacked])
+            ctx = jnp.asarray([self._device_video(c)[2] for _, _, c in stacked])
+            qs = [self._chunk_queries(chunk if i < len(group) else [])
+                  for i, (chunk, _, _) in enumerate(stacked)]
+            toks = jnp.asarray(np.stack([q[0] for q in qs]))
+            tmask = jnp.asarray(np.stack([q[1] for q in qs]))
+            clss = jnp.asarray(np.stack([q[2] for q in qs]))
+            yield group, (appear, motion, ctx, toks, tmask, clss)
 
     def _queries_by_video(self):
         by_vid = defaultdict(list)

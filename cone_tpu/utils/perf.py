@@ -1,0 +1,135 @@
+"""Analytic FLOPs / HBM models and device-time measurement for the serving
+pipeline.
+
+The reference's only runtime instrumentation is a wall-clock print
+(cone/inference.py:317). Here we account for where the time goes:
+
+  * `cone_flops_per_query` — analytic matmul FLOPs of the coarse + fine
+    stages per query (2*m*n*k per matmul, from the model config);
+  * `device_time_fused` — device-only seconds per query: all fused-program
+    inputs pre-staged in HBM, `repeats` full passes dispatched back-to-back,
+    one block at the end. Dispatch latency overlaps, so this isolates the
+    device from the host/tunnel round-trips that dominate single-chip
+    wall-clock;
+  * MFU/HBM utilization vs chip peaks (v5e: 197 bf16 TFLOP/s, 819 GB/s).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+# TPU v5e (v5 lite) peaks; see cloud.google.com/tpu/docs/v5e ("197 TFLOPS
+# bf16", "819 GBps HBM BW" per chip). Other chips can be added as needed.
+CHIP_PEAKS = {
+    "v5e": dict(flops_bf16=197e12, flops_f32=49e12, hbm_gbps=819.0),
+}
+
+
+@dataclass
+class FlopsBreakdown:
+    coarse_per_query: float      # frame-score matmul + window max
+    fine_per_query: float        # topk-window batched forward + matching
+    adapt_per_video: float       # coarse adapter transform, once per video
+    bytes_per_query: float       # HBM traffic lower bound (feature reads)
+
+    @property
+    def per_query(self) -> float:
+        return self.coarse_per_query + self.fine_per_query
+
+
+def cone_flops_per_query(cfg, ctx_pad: int) -> FlopsBreakdown:
+    """Matmul FLOPs (2*m*n*k) per query through the fused pipeline.
+
+    cfg: ConeConfig. ctx_pad: padded video length the coarse stage runs at
+    (a ctx bucket or data.max_ctx_l).
+    """
+    m = cfg.model
+    d, f, nq = m.hidden_dim, m.dim_feedforward, m.num_queries
+    dv, dt, da = m.v_motion_feat_dim, m.t_feat_dim, m.v_appear_feat_dim
+    lv, lq = m.max_v_l, m.max_q_l
+    L = lv + lq
+    topk = cfg.data.topk_window
+    qc = max(1, cfg.eval.query_chunk)
+
+    # --- fine stage, per window ------------------------------------------
+    proj = 2 * lv * (dv * d + d * d) + 2 * lq * (dt * d + d * d)
+    enc_layer = 8 * L * d * d + 4 * L * L * d + 4 * L * d * f
+    dec_layer = (
+        (8 * nq * d * d + 4 * nq * nq * d)          # query self-attn
+        + (4 * nq * d * d + 4 * L * d * d + 4 * nq * L * d)  # cross-attn
+        + 4 * nq * d * f                             # FFN
+    )
+    heads = m.dec_layers * (2 * nq * d * 2 + 3 * 2 * nq * d * d) + 2 * lv * d
+    # matching branch: masked segment-mean pool + residual adapter MLP +
+    # cosine vs text CLS
+    matching = 2 * nq * (da * d + d * da) + lv * da + 2 * nq * da
+    per_window = (
+        proj + m.enc_layers * enc_layer + m.dec_layers * dec_layer + heads
+        + matching
+    )
+    fine = topk * per_window
+
+    # --- coarse stage ------------------------------------------------------
+    coarse = 2 * ctx_pad * da + 2 * ctx_pad          # matvec + segment max
+    adapt_video = 2 * ctx_pad * (da * d + d * da)    # adapter, per video
+
+    # --- HBM lower bound ----------------------------------------------------
+    # coarse reads the adapted features once per query chunk; fine gathers
+    # topk windows of both feature streams (fp32 on device)
+    bytes_q = (ctx_pad * da * 4) / qc + topk * lv * (dv + da) * 4
+    return FlopsBreakdown(
+        coarse_per_query=float(coarse),
+        fine_per_query=float(fine),
+        adapt_per_video=float(adapt_video),
+        bytes_per_query=float(bytes_q),
+    )
+
+
+def device_time_fused(pipe, n_queries: int, repeats: int = 5):
+    """Device-only seconds/query for the fused pipeline.
+
+    Stages every dispatch's inputs in HBM first, then issues
+    `repeats` x all-groups dispatches back-to-back and blocks once.
+    Returns (sec_per_query, sec_per_pass).
+    """
+    import jax
+
+    staged = [(g, inp) for g, inp in pipe._fused_groups()]
+    # warmup (compile every bucket shape) + ensure inputs resident
+    outs = [pipe._fused_batch_fn(pipe.params, *inp) for _, inp in staged]
+    jax.block_until_ready(outs)
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(repeats):
+        for _, inp in staged:
+            out = pipe._fused_batch_fn(pipe.params, *inp)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    per_pass = dt / repeats
+    return per_pass / n_queries, per_pass
+
+
+def perf_report(cfg, ctx_pad: int, n_queries: int, device_s_per_query: float,
+                wall_qps: float, chip: str = "v5e") -> dict:
+    """Assemble the instrumented numbers into one dict for the bench JSON."""
+    peaks = CHIP_PEAKS[chip]
+    fb = cone_flops_per_query(cfg, ctx_pad)
+    peak = (
+        peaks["flops_bf16"] if cfg.model.compute_dtype == "bfloat16"
+        else peaks["flops_f32"]
+    )
+    device_qps = 1.0 / device_s_per_query
+    achieved_flops = fb.per_query * device_qps
+    achieved_gbps = fb.bytes_per_query * device_qps / 1e9
+    return {
+        "flops_per_query": fb.per_query,
+        "flops_fine_frac": fb.fine_per_query / fb.per_query,
+        "bytes_per_query": fb.bytes_per_query,
+        "device_qps": round(device_qps, 2),
+        "wall_qps": round(wall_qps, 2),
+        "mfu": round(achieved_flops / peak, 4),
+        "hbm_util": round(achieved_gbps / peaks["hbm_gbps"], 4),
+        "chip": chip,
+    }

@@ -201,3 +201,39 @@ def test_no_sort_results_skips_within_window_sort(cfg, ds):
         if cs != cr:
             saw_order_diff = True
     assert saw_order_diff, "expected at least one within-window order change"
+
+
+def test_ctx_buckets_match_unbucketed(cfg, ds):
+    """eval.ctx_buckets pads each video to its smallest fitting bucket; the
+    results must be identical to single-shape max_ctx_l padding (window math
+    is mask-driven, so extra padding is inert), for both the staged and the
+    fused path with mixed-bucket corpora."""
+    import dataclasses
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    # ds has ctx_l in (100, 220) and max_ctx_l=256 -> buckets split videos
+    cfg_b = cfg.replace(eval=dataclasses.replace(
+        cfg.eval, ctx_buckets=(128, 192), video_batch=2))
+    plain = InferencePipeline(model, params, ds, cfg)
+    bucketed = InferencePipeline(model, params, ds, cfg_b)
+
+    subs1, rank1 = plain.run(host_postproc=True)
+    subs2, rank2 = bucketed.run(host_postproc=True)
+    assert rank1 == rank2
+    assert subs1 == subs2
+
+    fs1, fr1 = plain.run(host_postproc=False, fused=True)
+    fs2, fr2 = bucketed.run(host_postproc=False, fused=True)
+    assert fr1 == fr2
+    for name in fs1:
+        by_qid = {r["query_id"]: r for r in fs1[name]}
+        for row in fs2[name]:
+            got = np.asarray(row["predicted_times"], np.float64)
+            want = np.asarray(by_qid[row["query_id"]]["predicted_times"],
+                              np.float64)
+            assert got.shape == want.shape, row["query_id"]
+            np.testing.assert_allclose(got, want, atol=1e-4)
+    # and the bucketing actually happened: padded lengths differ per video
+    lens = {bucketed._device_video(c)[0].shape[0] for c in
+            {e.clip_id for e in ds.examples}}
+    assert len(lens) > 1, lens

@@ -73,3 +73,40 @@ def test_sharded_fused_path(rng):
         want = np.asarray(by_qid[row["query_id"]]["predicted_times"], np.float64)
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_sharded_fused_mad_geometry(rng):
+    """SURVEY §7.2 step 9 / VERDICT r1 #10: the fused sharded pipeline at
+    MAD geometry — window 125, topk 30, multi-thousand-clip videos, ctx
+    buckets — equals single-device."""
+    dim = 64
+    cfg = ConeConfig(
+        model=ModelConfig(hidden_dim=64, nheads=4, dim_feedforward=128,
+                          t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_q_l=8, max_v_l=125,
+                          adapter_module="linear"),
+        data=DataConfig(dset_name="mad", max_v_l=125, clip_length=0.2,
+                        max_q_l=8, topk_window=30, max_ctx_l=4096),
+        eval=EvalConfig(query_chunk=4, video_batch=8,
+                        ctx_buckets=(2048, 3072)),
+    )
+    ds = make_synthetic_dataset(cfg.data, n_videos=4, queries_per_video=4,
+                                ctx_l_range=(1500, 3900), dim=dim,
+                                signal=3.0, seed=29)
+    model, params = build_model_and_params(cfg.model, seed=0)
+
+    single = InferencePipeline(model, params, ds, cfg)
+    subs1, rank1 = single.run(host_postproc=False, fused=True)
+    sharded = InferencePipeline(model, params, ds, cfg, mesh=make_mesh(8))
+    subs2, rank2 = sharded.run(host_postproc=False, fused=True)
+
+    assert rank1 == rank2
+    for name in subs1:
+        by_qid = {r["query_id"]: r for r in subs1[name]}
+        for row in subs2[name]:
+            got = np.asarray(row["predicted_times"], np.float64)
+            want = np.asarray(by_qid[row["query_id"]]["predicted_times"],
+                              np.float64)
+            assert got.shape == want.shape, (name, row["query_id"])
+            np.testing.assert_allclose(got, want, atol=1e-3,
+                                       err_msg=f"{name} {row['query_id']}")

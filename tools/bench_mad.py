@@ -33,9 +33,12 @@ def main():
         model=ModelConfig(t_feat_dim=dim, v_motion_feat_dim=dim,
                           v_appear_feat_dim=dim, max_v_l=125, max_q_l=20,
                           compute_dtype="bfloat16"),
+        # max_ctx_l mirrors the mad preset's worst case; ctx_buckets let the
+        # standard 2 h movie pad to 36864 instead (VERDICT r1 #3)
         data=DataConfig(dset_name="mad", max_v_l=125, clip_length=0.2,
-                        topk_window=30, max_q_l=20, max_ctx_l=36096),
-        eval=EvalConfig(nms_thd=0.5, max_after_nms=5, query_chunk=16),
+                        topk_window=30, max_q_l=20, max_ctx_l=65536),
+        eval=EvalConfig(nms_thd=0.5, max_after_nms=5, query_chunk=16,
+                        ctx_buckets=(8192, 16384, 24576, 36864, 49152)),
     )
     n_videos, qpv = 2, 32
     ds = make_synthetic_dataset(
@@ -62,11 +65,35 @@ def main():
         best = min(best, time.time() - t0)
         print(f"run: {best:.3f}s -> {n_queries / best:.2f} q/s", file=sys.stderr)
 
+    # A/B in ONE process (tunnel latency varies between sessions): the same
+    # corpus forced to the 65536 worst-case pad vs the bucketed pipeline
+    import dataclasses as dc
+
+    from cone_tpu.utils.perf import device_time_fused, perf_report
+
+    dev_s_per_q, per_pass = device_time_fused(pipe, n_queries, repeats=3)
+    perf = perf_report(cfg, 36864, n_queries, dev_s_per_q,
+                       wall_qps=n_queries / best)
+    print(f"bucketed device-only: {per_pass * 1e3:.1f} ms/pass"
+          f" -> {perf['device_qps']} q/s | {perf['flops_per_query'] / 1e9:.2f}"
+          f" GFLOP/q (fine {perf['flops_fine_frac'] * 100:.0f}%)"
+          f" | MFU {perf['mfu'] * 100:.2f}% | HBM {perf['hbm_util'] * 100:.1f}%",
+          file=sys.stderr)
+
+    cfg_nb = cfg.replace(eval=dc.replace(cfg.eval, ctx_buckets=()))
+    pipe_nb = InferencePipeline(model, params, ds, cfg_nb)
+    dev_nb, pass_nb = device_time_fused(pipe_nb, n_queries, repeats=3)
+    print(f"unbucketed (pad 65536) device-only: {pass_nb * 1e3:.1f} ms/pass"
+          f" -> {1 / dev_nb:.2f} q/s"
+          f" (bucketing speedup {dev_nb / dev_s_per_q:.2f}x)", file=sys.stderr)
+
     import json
 
     print(json.dumps({
         "metric": "mad_infer_qps", "value": round(n_queries / best, 2),
         "unit": "queries/sec",
+        "unbucketed_device_qps": round(1 / dev_nb, 2),
+        **perf,
     }))
 
 
