@@ -49,9 +49,15 @@ def main():
                           compute_dtype="bfloat16"),
         data=DataConfig(max_v_l=90, max_q_l=20, clip_length=0.535,
                         topk_window=20, max_ctx_l=2304),
-        eval=EvalConfig(nms_thd=0.5, max_after_nms=5, query_chunk=16),
+        eval=EvalConfig(nms_thd=0.5, max_after_nms=5, query_chunk=32,
+                        video_batch=8),
     )
-    n_videos, qpv = 4, 16
+    # serving-realistic in-flight load: 1024 queries against the resident
+    # 4-video corpus. Each (video, 32-query chunk) work item is one vmapped
+    # lane; 8 lanes per dispatch; dispatches issue async so the tunnel
+    # round-trip amortizes across the batch (sweep: /tmp-era r2 experiments,
+    # RESULTS.md "where the time goes").
+    n_videos, qpv = 4, 256
     ds = make_synthetic_dataset(
         cfg.data, n_videos=n_videos, queries_per_video=qpv,
         ctx_l_range=(2240, 2245), dim=dim, q_len_range=(8, 20), seed=0,
