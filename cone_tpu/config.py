@@ -158,6 +158,13 @@ class EvalConfig:
     # fast (tools/bench_coarse.py), so this defaults off; the kernel exists
     # for topologies where the (Q, L) intermediate becomes the bottleneck.
     use_pallas_coarse: bool = False
+    # dtype of the HBM-resident video-feature corpus: "float32" (exact),
+    # "bfloat16" (2x residency) or "int8" (4x residency, symmetric per-frame
+    # scales). Decoding back to fp32 happens inside the compiled program, so
+    # all compute keeps the model's compute_dtype; only what sits in HBM
+    # between requests shrinks. At MAD scale a 2 h movie is ~134 MB fp32 and
+    # ~34 MB int8 — the knob that sets how many movies one chip can serve.
+    corpus_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -62,8 +62,15 @@ class InferencePipeline:
         stride, max_v_l = self.stride, cfg.data.max_v_l
         topk = cfg.data.topk_window
 
-        @jax.jit
-        def adapt_fn(params, feats):
+        def decode(x, scale):
+            """Corpus features back to fp32 inside the program. For
+            eval.corpus_dtype float32/bfloat16 `scale` is the scalar 1.0
+            (exact multiply); for int8 it is the per-frame (L, 1) symmetric
+            scale. One elementwise op per dispatch, fused by XLA — HBM keeps
+            only the encoded array between requests."""
+            return x.astype(jnp.float32) * scale
+
+        def adapt_core(params, feats):
             """Adapter + renormalize for the coarse stage
             (cone/inference.py:254-258). Works for any model exposing
             .adapt (CONE or CONE-TAN)."""
@@ -73,6 +80,10 @@ class InferencePipeline:
                 norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
                 return out / jnp.where(norm == 0, 1.0, norm)
             return feats
+
+        @jax.jit
+        def adapt_fn(params, feats, f_scale):
+            return adapt_core(params, decode(feats, f_scale))
 
         @jax.jit
         def coarse_fn(adapted, ctx_l, cls_batch):
@@ -109,8 +120,11 @@ class InferencePipeline:
         # setups.
         nms_thd_f, max_after_f = cfg.eval.nms_thd, cfg.eval.max_after_nms
 
-        def fused_fn(params, appear, motion, ctx_l, q_tok, q_mask, q_cls):
-            adapted = adapt_fn(params, appear)
+        def fused_fn(params, appear, a_scale, motion, m_scale, ctx_l,
+                     q_tok, q_mask, q_cls):
+            appear = decode(appear, a_scale)
+            motion = decode(motion, m_scale)
+            adapted = adapt_core(params, appear)
             order, n_valid = coarse_fn(adapted, ctx_l, q_cls)
             win_idx = order[:, :topk]
             win_valid = win_idx < (n_valid[:, None] + 0)  # ranked ids < n_win
@@ -153,20 +167,25 @@ class InferencePipeline:
             fused_score = norm(pr) + norm(ma)
             # all three scoring modalities (fusion / proposal / matching),
             # NMS'd independently like the host path's three submissions
-            # (cone/inference.py:322-331); the extra two NMS passes are
-            # negligible next to the fine forward.
+            # (cone/inference.py:322-331). Stacked on the NMS batch axis so
+            # the three passes share ONE sequential fori_loop (3x wider
+            # vector work per step instead of 3x the steps).
+            scores3 = jnp.stack([fused_score, pr, ma])          # (3, Qc, N)
+            sp3 = jnp.broadcast_to(sp, (3,) + sp.shape)
+            valid3 = jnp.broadcast_to(valid, (3,) + valid.shape)
+            k_sp, k_sc, k_va = temporal_nms_device(
+                sp3, scores3, valid3, nms_thd_f, max_after_f,
+                hull_union=self.nms_hull)
             out = (order, win_valid)
-            for score in (fused_score, pr, ma):
-                out += tuple(temporal_nms_device(
-                    sp, score, valid, nms_thd_f, max_after_f,
-                    hull_union=self.nms_hull))
+            for m in range(3):
+                out += (k_sp[m], k_sc[m], k_va[m])
             return out
 
         self._fused_fn = jax.jit(fused_fn)
         # one dispatch for a whole group of (video, chunk) work items; with a
         # mesh the video-batch axis shards over DP (each chip runs whole
         # videos — no collectives on the serving path at all)
-        fused_batch = jax.vmap(fused_fn, in_axes=(None, 0, 0, 0, 0, 0, 0))
+        fused_batch = jax.vmap(fused_fn, in_axes=(None,) + (0,) * 8)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -174,11 +193,17 @@ class InferencePipeline:
             vsh = NamedSharding(self.mesh, P("dp"))
             self._fused_batch_fn = jax.jit(
                 fused_batch,
-                in_shardings=(rep, vsh, vsh, vsh, vsh, vsh, vsh),
+                in_shardings=(rep,) + (vsh,) * 8,
                 out_shardings=vsh,
             )
         else:
             self._fused_batch_fn = jax.jit(fused_batch)
+
+        def fine_dec(params, appear, a_scale, motion, m_scale, ctx_l,
+                     win_idx, q_tok, q_mask, q_cls):
+            return fine_fn(params, decode(appear, a_scale),
+                           decode(motion, m_scale), ctx_l, win_idx,
+                           q_tok, q_mask, q_cls)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -186,12 +211,12 @@ class InferencePipeline:
             rep = NamedSharding(self.mesh, P())
             qsh = NamedSharding(self.mesh, P("dp"))
             self._fine_fn = jax.jit(
-                fine_fn,
-                in_shardings=(rep, rep, rep, rep, qsh, qsh, qsh, qsh),
+                fine_dec,
+                in_shardings=(rep,) * 6 + (qsh,) * 4,
                 out_shardings=qsh,
             )
         else:
-            self._fine_fn = jax.jit(fine_fn)
+            self._fine_fn = jax.jit(fine_dec)
         self._adapt_fn = adapt_fn
         self._coarse_fn = coarse_fn
 
@@ -290,16 +315,37 @@ class InferencePipeline:
 
         return pad(appear), (pad(motion) if motion is not appear else None), ctx_l
 
+    def _encode_corpus(self, x_np):
+        """Host-side encode of one padded (L, D) feature array into its
+        HBM-resident form per eval.corpus_dtype. Returns (array, scale):
+        scale is the scalar 1.0 for float32/bfloat16, or the per-frame
+        (L, 1) symmetric max-abs scale for int8 (zero rows get scale 1 so
+        padding decodes to exact zeros)."""
+        dt = self.cfg.eval.corpus_dtype
+        if dt == "int8":
+            scale = np.abs(x_np).max(axis=1, keepdims=True) / 127.0
+            scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+            q = np.clip(np.rint(x_np / scale), -127, 127).astype(np.int8)
+            return jnp.asarray(q), jnp.asarray(scale)
+        if dt == "bfloat16":
+            return jnp.asarray(x_np, jnp.bfloat16), jnp.asarray(1.0, jnp.float32)
+        assert dt == "float32", f"unknown eval.corpus_dtype {dt!r}"
+        return jnp.asarray(x_np), jnp.asarray(1.0, jnp.float32)
+
     def _device_video(self, clip_id):
         """Device-resident padded features, cached (uploaded once, shared by
-        every stage)."""
+        every stage). Returns (appear, a_scale, motion, m_scale, ctx_l)."""
         if not hasattr(self, "_dev_cache"):
             self._dev_cache = {}
         if clip_id not in self._dev_cache:
             appear_np, motion_np, ctx_l = self._padded_video(clip_id)
-            appear_j = jnp.asarray(appear_np)
-            motion_j = appear_j if motion_np is None else jnp.asarray(motion_np)
-            self._dev_cache[clip_id] = (appear_j, motion_j, ctx_l)
+            appear_j, a_scale = self._encode_corpus(appear_np)
+            if motion_np is None:
+                motion_j, m_scale = appear_j, a_scale
+            else:
+                motion_j, m_scale = self._encode_corpus(motion_np)
+            self._dev_cache[clip_id] = (appear_j, a_scale, motion_j, m_scale,
+                                        ctx_l)
         return self._dev_cache[clip_id]
 
     def clear_cache(self):
@@ -385,7 +431,7 @@ class InferencePipeline:
         # videos (mixed buckets can't share one program)
         work = []
         for clip_id, exs in by_video.items():
-            n_win = num_windows(self._device_video(clip_id)[2], self.stride)
+            n_win = num_windows(self._device_video(clip_id)[4], self.stride)
             for i in range(0, len(exs), qc):
                 work.append((exs[i : i + qc], n_win, clip_id))
 
@@ -409,15 +455,19 @@ class InferencePipeline:
         for group in groups:
             pad = vb - len(group)
             stacked = group + [group[0]] * pad
-            appear = jnp.stack([self._device_video(c)[0] for _, _, c in stacked])
-            motion = jnp.stack([self._device_video(c)[1] for _, _, c in stacked])
-            ctx = jnp.asarray([self._device_video(c)[2] for _, _, c in stacked])
+            vids = [self._device_video(c) for _, _, c in stacked]
+            appear = jnp.stack([v[0] for v in vids])
+            a_scale = jnp.stack([v[1] for v in vids])
+            motion = jnp.stack([v[2] for v in vids])
+            m_scale = jnp.stack([v[3] for v in vids])
+            ctx = jnp.asarray([v[4] for v in vids])
             qs = [self._chunk_queries(chunk if i < len(group) else [])
                   for i, (chunk, _, _) in enumerate(stacked)]
             toks = jnp.asarray(np.stack([q[0] for q in qs]))
             tmask = jnp.asarray(np.stack([q[1] for q in qs]))
             clss = jnp.asarray(np.stack([q[2] for q in qs]))
-            yield group, (appear, motion, ctx, toks, tmask, clss)
+            yield group, (appear, a_scale, motion, m_scale, ctx,
+                          toks, tmask, clss)
 
     def _queries_by_video(self):
         by_vid = defaultdict(list)
@@ -430,8 +480,8 @@ class InferencePipeline:
         qc = self.cfg.eval.query_chunk
         pending = []
         for clip_id, exs in self._queries_by_video().items():
-            appear_j, _, ctx_l = self._device_video(clip_id)
-            adapted = self._adapt_fn(self.params, appear_j)
+            appear_j, a_scale, _, _, ctx_l = self._device_video(clip_id)
+            adapted = self._adapt_fn(self.params, appear_j, a_scale)
             n_win = num_windows(ctx_l, self.stride)
             for i in range(0, len(exs), qc):
                 chunk = exs[i : i + qc]
@@ -458,7 +508,7 @@ class InferencePipeline:
         qc, k = cfg.eval.query_chunk, cfg.data.topk_window
         pending = []
         for clip_id, exs in self._queries_by_video().items():
-            appear_j, motion_j, ctx_l = self._device_video(clip_id)
+            appear_j, a_scale, motion_j, m_scale, ctx_l = self._device_video(clip_id)
             for i in range(0, len(exs), qc):
                 chunk = exs[i : i + qc]
                 win_idx = np.zeros((qc, k), np.int32)
@@ -469,9 +519,9 @@ class InferencePipeline:
                     win_idx[j, : len(rank)] = rank
                     win_valid[j, : len(rank)] = True
                 fut = self._fine_fn(
-                    self.params, appear_j, motion_j, jnp.asarray(ctx_l),
-                    jnp.asarray(win_idx), jnp.asarray(toks),
-                    jnp.asarray(tmask), jnp.asarray(clss),
+                    self.params, appear_j, a_scale, motion_j, m_scale,
+                    jnp.asarray(ctx_l), jnp.asarray(win_idx),
+                    jnp.asarray(toks), jnp.asarray(tmask), jnp.asarray(clss),
                 )
                 pending.append((chunk, win_valid, fut))
         # resolve after dispatching everything (overlap host prep & device)

@@ -89,6 +89,28 @@ def main():
     print(f"unbucketed (pad 65536) device-only: {pass_nb * 1e3:.1f} ms/pass"
           f" -> {1 / dev_nb:.2f} q/s"
           f" (bucketing speedup {dev_nb / dev_s_per_q:.2f}x)", file=sys.stderr)
+    del pipe_nb
+
+    # corpus-residency A/B (same process): bf16 / int8 corpus vs fp32 —
+    # 2x / 4x more movies resident per chip; throughput should hold since
+    # decode fuses into the program and the fine stage is FLOPs-bound
+    quant = {}
+    for dt in ("bfloat16", "int8"):
+        cfg_q = cfg.replace(eval=dc.replace(cfg.eval, corpus_dtype=dt))
+        pipe_q = InferencePipeline(model, params, ds, cfg_q)
+        dev_q, pass_q = device_time_fused(pipe_q, n_queries, repeats=3)
+        res_mb = sum(
+            v.nbytes for c in ds.video_ids
+            for v in pipe_q._device_video(c)[:2]) / 1e6
+        quant[dt] = dict(device_qps=round(1 / dev_q, 2),
+                         resident_mb=round(res_mb, 1))
+        print(f"corpus {dt}: {pass_q * 1e3:.1f} ms/pass -> {1 / dev_q:.2f}"
+              f" q/s, corpus resident {res_mb:.0f} MB"
+              f" (fp32 speed x{dev_s_per_q / dev_q:.2f})", file=sys.stderr)
+        del pipe_q
+
+    res_f32 = sum(v.nbytes for c in ds.video_ids
+                  for v in pipe._device_video(c)[:2]) / 1e6
 
     import json
 
@@ -96,6 +118,8 @@ def main():
         "metric": "mad_infer_qps", "value": round(n_queries / best, 2),
         "unit": "queries/sec",
         "unbucketed_device_qps": round(1 / dev_nb, 2),
+        "corpus_resident_mb_f32": round(res_f32, 1),
+        "corpus_quant": quant,
         **perf,
     }))
 
