@@ -123,16 +123,21 @@ def main():
         f" (fine {perf['flops_fine_frac'] * 100:.0f}%)"
         f" | MFU {perf['mfu'] * 100:.2f}% | HBM {perf['hbm_util'] * 100:.1f}%")
 
-    jax.block_until_ready(one_window(params, tokj, tmaskj, vid, vmask))
+    from cone_tpu.utils.perf import sync_latency, tunnel_sync
+
+    tunnel_sync(one_window(params, tokj, tmaskj, vid, vmask))
+    lat = sync_latency()
     # async-pipelined loop: a LOWER bound on the reference's cost (its real
     # loop synchronizes per batch for host post-processing), so vs_baseline
-    # is a conservative speedup estimate
+    # is a conservative speedup estimate. tunnel_sync (NOT block_until_ready,
+    # which is a no-op fence on this tunnel — utils/perf.py) closes the
+    # timed region.
     n_iters = 100
     t0 = time.time()
     for _ in range(n_iters):
         r = one_window(params, tokj, tmaskj, vid, vmask)
-    jax.block_until_ready(r)
-    per_window = (time.time() - t0) / n_iters
+    tunnel_sync(r)
+    per_window = (time.time() - t0 - lat) / n_iters
     # reference cost per query ~= topk sequential window forwards (+ coarse,
     # ignored => baseline flattered)
     baseline_qps = 1.0 / (per_window * cfg.data.topk_window)

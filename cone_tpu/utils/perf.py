@@ -76,8 +76,13 @@ def cone_flops_per_query(cfg, ctx_pad: int) -> FlopsBreakdown:
 
     # --- HBM lower bound ----------------------------------------------------
     # coarse reads the adapted features once per query chunk; fine gathers
-    # topk windows of both feature streams (fp32 on device)
-    bytes_q = (ctx_pad * da * 4) / qc + topk * lv * (dv + da) * 4
+    # topk windows of both feature streams, at the HBM-resident corpus dtype
+    # (eval.corpus_dtype: fp32 / bf16 / int8 + per-frame fp32 scales)
+    corpus_dt = getattr(cfg.eval, "corpus_dtype", "float32")
+    isz = {"float32": 4, "bfloat16": 2, "int8": 1}[corpus_dt]
+    scale_b = 4 if corpus_dt == "int8" else 0  # (L, 1) fp32 scale rows
+    bytes_q = ((ctx_pad * (da * isz + scale_b)) / qc
+               + topk * lv * ((dv + da) * isz + 2 * scale_b))
     return FlopsBreakdown(
         coarse_per_query=float(coarse),
         fine_per_query=float(fine),
@@ -86,27 +91,59 @@ def cone_flops_per_query(cfg, ctx_pad: int) -> FlopsBreakdown:
     )
 
 
+def tunnel_sync(x) -> None:
+    """Reliable execution fence: fetch one scalar of `x` to host.
+
+    On the tunneled PJRT backend `jax.block_until_ready` can return long
+    before remote execution finishes (measured: a chained 50x 8192^3
+    matmul program "blocks" in 0.1 ms but needs 348 ms to produce data —
+    663 PFLOP/s if believed). The device executes in launch order, so a
+    tiny gather enqueued after everything else + `device_get` is a true
+    fence. ALWAYS use this (not block_until_ready) to close a timed
+    region; subtract `sync_latency()` (the tunnel round trip, ~10-80 ms)
+    from the measurement.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    jax.device_get(leaf.ravel()[0])
+
+
+def sync_latency(trials: int = 3) -> float:
+    """Measured cost of `tunnel_sync` on an already-resident array."""
+    import jax.numpy as jnp
+
+    a = jnp.zeros((8,), jnp.float32)
+    tunnel_sync(a)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        tunnel_sync(a)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def device_time_fused(pipe, n_queries: int, repeats: int = 5):
     """Device-only seconds/query for the fused pipeline.
 
     Stages every dispatch's inputs in HBM first, then issues
-    `repeats` x all-groups dispatches back-to-back and blocks once.
+    `repeats` x all-groups dispatches back-to-back and fences once with
+    `tunnel_sync` (minus the measured fetch latency).
     Returns (sec_per_query, sec_per_pass).
     """
-    import jax
-
     staged = [(g, inp) for g, inp in pipe._fused_groups()]
     # warmup (compile every bucket shape) + ensure inputs resident
     outs = [pipe._fused_batch_fn(pipe.params, *inp) for _, inp in staged]
-    jax.block_until_ready(outs)
+    tunnel_sync(outs[-1])
+    lat = sync_latency()
 
     t0 = time.perf_counter()
     out = None
     for _ in range(repeats):
         for _, inp in staged:
             out = pipe._fused_batch_fn(pipe.params, *inp)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    tunnel_sync(out)
+    dt = max(time.perf_counter() - t0 - lat, 1e-9)
     per_pass = dt / repeats
     return per_pass / n_queries, per_pass
 

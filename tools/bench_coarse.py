@@ -16,12 +16,15 @@ from cone_tpu.ops.windows import window_scores_from_frame_scores
 
 
 def timeit(fn, *args, iters=20):
-    fn(*args).block_until_ready() if hasattr(fn(*args), "block_until_ready") else jax.block_until_ready(fn(*args))
+    from cone_tpu.utils.perf import sync_latency, tunnel_sync
+
+    tunnel_sync(fn(*args))
+    lat = sync_latency()
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+    tunnel_sync(out)  # block_until_ready is a no-op fence on the tunnel
+    return (time.time() - t0 - lat) / iters
 
 
 def main():

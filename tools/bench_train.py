@@ -57,6 +57,9 @@ def main():
     _ = list(loader.epoch(1))
     host_dt = (time.time() - t0) / len(batches)
 
+    from cone_tpu.utils.perf import sync_latency, tunnel_sync
+
+    lat = sync_latency()
     t0 = time.time()
     n = 0
     for _ in range(3):
@@ -64,8 +67,11 @@ def main():
             rng, sub = jax.random.split(rng)
             params, opt_state, m = step(params, opt_state, b, sub, True)
             n += 1
-    jax.block_until_ready(m["loss_overall"])
-    dt = (time.time() - t0) / n
+    # tunnel_sync, not block_until_ready: the tunnel's block is a no-op
+    # fence (utils/perf.py). The step chain is serialized through params
+    # anyway, but the final step still needs a real completion fence.
+    tunnel_sync(m["loss_overall"])
+    dt = (time.time() - t0 - lat) / n
     print(f"device step: {dt * 1e3:.1f} ms -> {cfg.train.bsz / dt:.0f} samples/s",
           file=sys.stderr)
     print(f"host sampling: {host_dt * 1e3:.1f} ms/batch (overlappable)",
