@@ -28,33 +28,38 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(ctx_l_ref, cls_ref, feats_ref, out_ref, *, tile_l: int, stride: int):
+def _kernel(ctx_l_ref, cls_t_ref, feats_ref, out_ref, *, tile_l: int, stride: int):
     i = pl.program_id(0)
-    q = cls_ref.shape[0]
+    q = cls_t_ref.shape[1]
     segs = tile_l // stride
 
+    # Canonical MXU orientation: lhs (T, D) contracts its LANE dim, rhs
+    # (D, Q) contracts its SUBLANE dim — Mosaic feeds the MXU directly.
+    # (The r1 version computed (Q, D)x(T, D)^T, which forced a VPU
+    # transpose of every feature tile and made the kernel 5.6x slower
+    # than XLA; this orientation beats XLA, tools/bench_coarse.py.)
     scores = jax.lax.dot_general(
-        cls_ref[:],                    # (Q, D)
         feats_ref[:],                  # (T, D)
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        cls_t_ref[:],                  # (D, Q)
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Q, T)
+    )  # (T, Q)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (q, tile_l), 1)
-    scores = jnp.where(i * tile_l + lane < ctx_l_ref[0], scores, NEG_INF)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_l, q), 0)
+    scores = jnp.where(i * tile_l + row < ctx_l_ref[0], scores, NEG_INF)
 
-    # Segment max via per-segment masked reductions: `stride` is not lane-
-    # aligned (45/62), so a (Q, T) -> (Q, segs, stride) reshape does not
-    # lower on Mosaic; `segs` masked full-tile maxes on the VPU are cheap.
-    lane_seg = lane // stride
-    cols = [
-        jnp.max(jnp.where(lane_seg == s, scores, NEG_INF), axis=-1, keepdims=True)
+    # Segment max via static sublane slices: `stride` is not tile-aligned
+    # (45/62), so a (T, Q) -> (segs, stride, Q) reshape does not lower on
+    # Mosaic, but static row slices do — each row is read once (vs `segs`
+    # full-tile passes with masked reductions).
+    rows = [
+        jnp.max(scores[s * stride : (s + 1) * stride], axis=0, keepdims=True)
         for s in range(segs)
     ]
-    # out block is (1, Q, segs) — the grid dim leads so the last two dims
-    # satisfy TPU block tiling (lane-dim stores must be 128-aligned
-    # otherwise); the wrapper transposes back to (Q, n_seg)
-    out_ref[0] = jnp.concatenate(cols, axis=1)
+    # out block is (1, segs, Q) — the grid dim leads so the last two dims
+    # are full-dim (stores with partial lane offsets don't lower); the
+    # wrapper reshapes/transposes back to (Q, n_seg)
+    out_ref[0] = jnp.concatenate(rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("stride",))
@@ -74,10 +79,12 @@ def coarse_segment_max(feats: jnp.ndarray, cls: jnp.ndarray, ctx_l, stride: int)
     l_pad, d = feats.shape
     q = cls.shape[0]
 
-    # tile: a multiple of the stride AND of the 8-sublane tiling, near 512
-    # frames (keeps the VMEM tile ~512*D*4B and the matmul MXU-sized)
+    # tile: a multiple of the stride AND of the 8-sublane tiling, near 2048
+    # frames — big enough that the per-grid-step fixed cost amortizes
+    # (73 steps of 496 rows measured 2.5x slower than 19 steps of 1984),
+    # small enough that two ~4 MB buffers double-buffer in 16 MB VMEM
     base = stride * (8 // math.gcd(stride, 8))
-    tile_l = base * max(1, 512 // base)
+    tile_l = base * max(1, 2048 // base)
     if l_pad % tile_l:
         extra = tile_l - l_pad % tile_l
         feats = jnp.concatenate([feats, jnp.zeros((extra, d), feats.dtype)])
@@ -92,15 +99,21 @@ def coarse_segment_max(feats: jnp.ndarray, cls: jnp.ndarray, ctx_l, stride: int)
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ctx_l (1,)
-            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_l, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, q, segs_per_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, segs_per_tile, q), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((grid, q, segs_per_tile), jnp.float32),
-    )(jnp.asarray(ctx_l, jnp.int32).reshape(1), cls, feats)
-    return tiled.transpose(1, 0, 2).reshape(q, n_seg)
+        out_shape=jax.ShapeDtypeStruct((grid, segs_per_tile, q), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # tiles are independent: lets Mosaic pipeline the HBM stream
+            dimension_semantics=("parallel",),
+        ),
+    )(jnp.asarray(ctx_l, jnp.int32).reshape(1), cls.T, feats)
+    # (grid, segs, Q) -> (Q, n_seg): the transpose is over the tiny score
+    # matrix, not the feature stream
+    return tiled.reshape(n_seg, q).T
 
 
 def window_scores_from_segment_max(seg_max: jnp.ndarray, ctx_l, stride: int,

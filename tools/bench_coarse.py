@@ -15,16 +15,52 @@ from cone_tpu.ops.pallas_coarse import coarse_segment_max
 from cone_tpu.ops.windows import window_scores_from_frame_scores
 
 
-def timeit(fn, *args, iters=20):
+def timeit(fn, feats, cls, ctx, iters=(100, 300)):
+    """Per-call device time for a sub-ms kernel, compiler-cheat-proof.
+
+    Sub-ms kernels can't be resolved by N dispatches + one fence: the
+    execution hides inside the ~34 ms tunnel round-trip noise. All
+    iterations therefore chain inside ONE program — and the chain must be
+    built so XLA cannot shortcut it (every naive variant was measurably
+    exploited on this workload):
+
+      * perturbing `feats` (the big operand): the add can't fuse into a
+        pallas_call, charging the Pallas path an extra 2x74 MB pass;
+      * a scalar perturbation of `cls`: hoisted — (c+s)@F^T rewrites to
+        c@F^T + s*(1@F^T), and the 74 MB matmul leaves the loop
+        ("measured" 1871 GB/s, 2.3x above HBM peak);
+      * carrying only out[0]: dead-code eliminates 31/32 output rows.
+
+    The cheat-proof chain: perturb cls with a per-COLUMN (d,) vector
+    (C*diag(v) @ F^T has no rewrite that avoids re-reading F) built from
+    a reduction over EVERY output element (no row/col DCE), scaled by
+    1e-30 (exact identity in fp32 — results are bit-identical). Per-call
+    time = (t_iters2 - t_iters1) / (iters2 - iters1), cancelling the
+    round trip and any loop-invariant prologue.
+    """
     from cone_tpu.utils.perf import sync_latency, tunnel_sync
 
-    tunnel_sync(fn(*args))
-    lat = sync_latency()
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    tunnel_sync(out)  # block_until_ready is a no-op fence on the tunnel
-    return (time.time() - t0 - lat) / iters
+    d = feats.shape[1]
+
+    def chain_time(n):
+        @jax.jit
+        def chain(f, c, x):
+            def body(_, carry):
+                v = 1.0 + carry * 1e-30
+                out = fn(f, c * v[None, :], x)
+                w = jnp.where(out > -1e29, out, 0.0)
+                return w.sum(axis=0)[:d] + w.sum() * 1e-6
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((d,), jnp.float32))
+
+        tunnel_sync(chain(feats, cls, ctx))  # compile (real fence)
+        lat = sync_latency()
+        t0 = time.time()
+        out = chain(feats, cls, ctx)
+        tunnel_sync(out)
+        return time.time() - t0 - lat
+
+    t1, t2 = chain_time(iters[0]), chain_time(iters[1])
+    return (t2 - t1) / (iters[1] - iters[0])
 
 
 def main():
