@@ -71,3 +71,33 @@ def test_window_scores_match_reference_path(rng):
     np.testing.assert_allclose(
         np.asarray(got)[:, :nw], np.asarray(want)[:, :nw], rtol=1e-5
     )
+
+
+def test_pipeline_coarse_with_pallas_kernel_matches_xla():
+    """eval.use_pallas_coarse=True through the real InferencePipeline
+    (interpret mode): identical window ranklists to the XLA path."""
+    import dataclasses
+
+    from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig
+    from cone_tpu.data import make_synthetic_dataset
+    from cone_tpu.eval.pipeline import InferencePipeline
+    from cone_tpu.models.init import build_model_and_params
+
+    dim = 32
+    cfg = ConeConfig(
+        model=ModelConfig(hidden_dim=64, nheads=4, dim_feedforward=128,
+                          t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_q_l=8, max_v_l=32,
+                          adapter_module="none"),
+        data=DataConfig(max_v_l=32, max_q_l=8, clip_length=1.0,
+                        topk_window=5, max_ctx_l=256, max_windows=5),
+        eval=EvalConfig(query_chunk=4),
+    )
+    ds = make_synthetic_dataset(cfg.data, n_videos=2, queries_per_video=3,
+                                ctx_l_range=(100, 200), dim=dim, seed=3)
+    model, params = build_model_and_params(cfg.model, seed=0)
+    xla = InferencePipeline(model, params, ds, cfg)
+    cfg_p = cfg.replace(eval=dataclasses.replace(cfg.eval,
+                                                 use_pallas_coarse=True))
+    pal = InferencePipeline(model, params, ds, cfg_p)
+    assert pal.coarse() == xla.coarse()
