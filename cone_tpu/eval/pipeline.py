@@ -382,11 +382,16 @@ class InferencePipeline:
             fut = self._fused_batch_fn(self.params, *inputs)
             pending.append((group, fut))
 
+        # ONE device_get for every dispatch: fetching group-by-group pays a
+        # full tunnel round trip each (~45 ms x n_groups serial); a batched
+        # get pipelines them and wall-clock collapses to device time
+        # (measured 0.86 -> 0.35 s for 32 groups, docs/RESULTS.md)
+        results = jax.device_get([fut for _, fut in pending])
+
         ranklists = {}
         names = ("fusion", "proposal", "matching")
         out = {name: [] for name in names}
-        for group, fut in pending:
-            res = jax.device_get(fut)
+        for (group, _), res in zip(pending, results):
             order = res[0]
             for v, (chunk, n_win, _) in enumerate(group):
                 for j, ex in enumerate(chunk):
@@ -496,8 +501,8 @@ class InferencePipeline:
                 fut, _ = self._coarse_fn(adapted, jnp.asarray(ctx_l), jnp.asarray(cls))
                 pending.append((chunk, n_win, fut))
         ranklists = {}
-        for chunk, n_win, fut in pending:
-            order = np.asarray(fut)
+        orders = jax.device_get([fut for _, _, fut in pending])  # one round trip
+        for (chunk, n_win, _), order in zip(pending, orders):
             for j, ex in enumerate(chunk):
                 ranklists[ex.query_id] = [int(w) for w in order[j] if w < n_win]
         return ranklists
@@ -524,10 +529,12 @@ class InferencePipeline:
                     jnp.asarray(toks), jnp.asarray(tmask), jnp.asarray(clss),
                 )
                 pending.append((chunk, win_valid, fut))
-        # resolve after dispatching everything (overlap host prep & device)
+        # resolve after dispatching everything (overlap host prep & device);
+        # one batched device_get so the tunnel round trips pipeline
         out_rows = []
-        for chunk, win_valid, fut in pending:
-            spans_sec, prob, match, *rest = jax.device_get(fut)
+        results = jax.device_get([fut for _, _, fut in pending])
+        for (chunk, win_valid, _), got in zip(pending, results):
+            spans_sec, prob, match, *rest = got
             cand_valid = rest[0] if rest else None
             for j, ex in enumerate(chunk):
                 out_rows.append(

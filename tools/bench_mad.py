@@ -38,11 +38,13 @@ def main():
         data=DataConfig(dset_name="mad", max_v_l=125, clip_length=0.2,
                         topk_window=30, max_q_l=20, max_ctx_l=65536),
         eval=EvalConfig(nms_thd=0.5, max_after_nms=5, query_chunk=16,
-                        video_batch=8,
+                        video_batch=2,
                         ctx_buckets=(8192, 16384, 24576, 36864, 49152)),
     )
     # serving-realistic in-flight load (see bench.py): 256 queries over the
-    # two resident movies, 8 vmapped lanes per dispatch
+    # two resident movies. vb sweep (RESULTS.md): vmap lanes cost device
+    # time (vb=1: 981 q/s, vb=8: 747) but per-group host staging costs wall
+    # on the tunnel; vb=2 is the wall-clock sweet spot (670 q/s)
     n_videos, qpv = 2, 128
     ds = make_synthetic_dataset(
         cfg.data, n_videos=n_videos, queries_per_video=qpv,
