@@ -143,29 +143,38 @@ def main():
     # dispatch rate, device time), which is what gates that loop.
     # (Chaining the windows inside ONE program instead measures ~20 us —
     # but that deletes the dispatch-per-window control flow being modeled.)
-    # The reference's DataLoader slices each window on CPU and uploads it
-    # per batch (prepare_batch_inputs, ego4d_mad_dataloader.py:347-394) —
-    # so the faithful loop pays one window H2D per forward. (Our pipeline
-    # keeps the corpus resident and uploads only query tokens; giving the
-    # baseline free resident windows would overstate it, most visibly in
-    # degraded-tunnel patches where transfers dominate.)
+    # Two baselines, both keeping the reference loop shape:
+    #  * conservative (reported as vs_baseline): window features already
+    #    device-resident — generous to the reference, under-counts its cost;
+    #  * faithful (vs_baseline_faithful): one window H2D per forward, as
+    #    the reference's DataLoader uploads every window batch
+    #    (prepare_batch_inputs, ego4d_mad_dataloader.py:347-394). On the
+    #    tunnel, small uploads are latency-bound (~4 ms each), so this
+    #    ratio is large and session-dependent.
     w_np = np.ascontiguousarray(w[None])
 
-    def baseline_time(iters):
+    def baseline_time(iters, upload):
         tunnel_sync(one_window(params, tokj, tmaskj, vid, vmask))
         t0 = time.time()
         for _ in range(iters):
-            v = jnp.asarray(w_np)
+            v = jnp.asarray(w_np) if upload else vid
             r = one_window(params, tokj, tmaskj, v, vmask)
         tunnel_sync(r)
         return time.time() - t0
 
-    t1, t2 = baseline_time(200), baseline_time(1000)
-    per_window = max((t2 - t1) / 800, 1e-9)
+    def per_window(upload):
+        t1 = baseline_time(200, upload)
+        t2 = baseline_time(1000, upload)
+        return max((t2 - t1) / 800, 1e-9)
+
+    pw_res, pw_h2d = per_window(False), per_window(True)
     # reference cost per query ~= topk sequential window forwards (+ coarse,
     # ignored => baseline flattered)
-    baseline_qps = 1.0 / (per_window * cfg.data.topk_window)
-    log(f"per-window forward: {per_window * 1e3:.2f} ms -> baseline {baseline_qps:.2f} q/s")
+    baseline_qps = 1.0 / (pw_res * cfg.data.topk_window)
+    baseline_faithful_qps = 1.0 / (pw_h2d * cfg.data.topk_window)
+    log(f"per-window forward: {pw_res * 1e3:.2f} ms resident / "
+        f"{pw_h2d * 1e3:.2f} ms with H2D -> baseline {baseline_qps:.2f} / "
+        f"{baseline_faithful_qps:.2f} q/s")
 
     # second wall block (see comment above: widen the time window best-of
     # samples from, the tunnel's slow patches last minutes)
@@ -178,6 +187,7 @@ def main():
         "value": round(qps, 2),
         "unit": "queries/sec",
         "vs_baseline": round(qps / baseline_qps, 2),
+        "vs_baseline_faithful": round(qps / baseline_faithful_qps, 2),
         # device_qps is the stable cross-session number (tunnel-independent)
         **perf,
     }))
