@@ -110,3 +110,40 @@ def test_sharded_fused_mad_geometry(rng):
             assert got.shape == want.shape, (name, row["query_id"])
             np.testing.assert_allclose(got, want, atol=1e-3,
                                        err_msg=f"{name} {row['query_id']}")
+
+
+def test_sharded_fused_int8_corpus_matches_single(rng):
+    """mesh DP x eval.corpus_dtype=int8 compose: the sharded fused pipeline
+    over a quantized corpus equals single-device over the same corpus."""
+    import dataclasses
+
+    dim = 32
+    cfg = ConeConfig(
+        model=ModelConfig(hidden_dim=64, nheads=4, dim_feedforward=128,
+                          t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_q_l=8, max_v_l=32,
+                          adapter_module="none"),
+        data=DataConfig(max_v_l=32, max_q_l=8, clip_length=1.0,
+                        topk_window=5, max_ctx_l=256, max_windows=5),
+        eval=EvalConfig(query_chunk=4, video_batch=8, corpus_dtype="int8"),
+    )
+    ds = make_synthetic_dataset(cfg.data, n_videos=4, queries_per_video=4,
+                                ctx_l_range=(100, 220), dim=dim,
+                                signal=3.0, seed=11)
+    model, params = build_model_and_params(cfg.model, seed=0)
+
+    single = InferencePipeline(model, params, ds, cfg)
+    subs1, rank1 = single.run(host_postproc=False, fused=True)
+    sharded = InferencePipeline(model, params, ds, cfg, mesh=make_mesh(8))
+    subs2, rank2 = sharded.run(host_postproc=False, fused=True)
+
+    assert rank1 == rank2
+    assert np.asarray(single._device_video(ds.examples[0].clip_id)[0]).dtype == np.int8
+    for name in subs1:
+        by_qid = {r["query_id"]: r for r in subs1[name]}
+        for row in subs2[name]:
+            got = np.asarray(row["predicted_times"], np.float64)
+            want = np.asarray(by_qid[row["query_id"]]["predicted_times"],
+                              np.float64)
+            assert got.shape == want.shape, (name, row["query_id"])
+            np.testing.assert_allclose(got, want, atol=1e-3)

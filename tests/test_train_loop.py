@@ -97,3 +97,20 @@ def test_checkpoint_roundtrip(trained, cfg):
     # config snapshot round-trips
     cfg2 = CheckpointManager.load_config(workdir)
     assert cfg2.model.hidden_dim == cfg.model.hidden_dim
+
+
+def test_bf16_training_losses_fall(cfg, ds, tmp_path_factory):
+    """model.compute_dtype=bfloat16 (the 7.3x-faster TPU training path,
+    docs/RESULTS.md) trains: losses decrease on the planted-signal set."""
+    import dataclasses
+
+    cfg_bf16 = cfg.replace(
+        model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+        train=dataclasses.replace(cfg.train, n_epoch=2,
+                                  eval_epoch_interval=100),
+    )
+    workdir = str(tmp_path_factory.mktemp("bf16run"))
+    params, history = train(cfg_bf16, ds, ds, workdir)
+    losses = [h["loss_overall"] for h in history]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
