@@ -1,0 +1,230 @@
+"""Corpus-level moment retrieval: one query searched across EVERY resident
+video.
+
+The reference (and the per-video pipeline) always grounds a query in the
+video named by its annotation (`clip_id`). With the corpus HBM-resident
+(eval/pipeline.py `_device_video`, optionally quantized via
+eval.corpus_dtype), cross-video search is the same machinery pointed at
+all videos at once:
+
+  1. coarse: the query's CLS feature scores every window of every resident
+     video (one matvec + segment-max per video, compiled once per ctx
+     bucket; all dispatches issued before any fetch);
+  2. global merge: top `search_windows` (video, window) pairs by coarse
+     score across the whole corpus (host, tiny);
+  3. fine: the selected windows group by video into the standard batched
+     fine forward (the per-video pipeline's own `_fine_fn`);
+  4. post: reference-semantics scoring per video — min-max fusion over the
+     query's candidate set, NMS *within* each video (cross-video temporal
+     IoU is meaningless) — then one global ranking by fusion score.
+
+No reference counterpart (cone/inference.py grounds per annotation);
+the scoring math inside each stage is the per-video pipeline's, tested
+against the reference. Results: [video_id, st, ed, prop, match, fusion].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cone_tpu.config import ConeConfig
+from cone_tpu.data.dataset import GroundingDataset, QueryExample
+from cone_tpu.data.store import InMemoryArrayStore, TextFeatureStore
+from cone_tpu.eval.pipeline import InferencePipeline
+from cone_tpu.ops.nms import temporal_nms_host
+from cone_tpu.ops.windows import num_windows
+from cone_tpu.utils.io import min_max_normalize
+
+
+class CorpusRetriever:
+    """Search a query against all resident videos.
+
+    Built on a dedicated `InferencePipeline` with query_chunk=1 (one query
+    per search call); video features upload once (quantized per
+    eval.corpus_dtype) and are shared across searches.
+    """
+
+    def __init__(self, model, params, cfg: ConeConfig,
+                 dataset: Optional[GroundingDataset] = None):
+        cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, query_chunk=1))
+        self.cfg = cfg
+        ds = dataset if dataset is not None else self._empty_ds()
+        self.pipe = InferencePipeline(model, params, ds, cfg)
+        self.clip_ids: List[str] = (
+            sorted({e.clip_id for e in ds.examples}) if dataset is not None
+            else []
+        )
+        if dataset is not None:
+            # also admit videos the dataset knows but no example references
+            try:
+                self.clip_ids = sorted(set(self.clip_ids)
+                                       | set(ds.appear.keys()))
+            except (AttributeError, TypeError):
+                pass
+        # scores variant of the pipeline's coarse program: same adapter +
+        # frame-score + segment-max math, but returns the scores themselves
+        # for the cross-video merge (coarse_fn returns only the ranking)
+        from cone_tpu.ops.windows import window_scores_from_frame_scores
+
+        stride = self.pipe.stride
+
+        @jax.jit
+        def window_scores(adapted, ctx_l, cls):
+            max_w = num_windows(adapted.shape[0], stride)
+            frame = adapted @ cls  # (Lmax,)
+            scores, valid = window_scores_from_frame_scores(
+                frame, ctx_l, stride, max_w)
+            return scores, valid
+
+        self._window_scores = window_scores
+
+    def _empty_ds(self):
+        d = self.cfg.model.v_appear_feat_dim
+        t = self.cfg.model.t_feat_dim
+        text = TextFeatureStore(InMemoryArrayStore({}), InMemoryArrayStore({}))
+        return GroundingDataset([], InMemoryArrayStore({}), text,
+                                self.cfg.data)
+
+    # -------------------------------------------------------------- corpus
+
+    def add_video(self, clip_id: str, feats: np.ndarray) -> None:
+        """Add/replace one video's (L, D) clip features; uploads (encoded
+        per eval.corpus_dtype) on first use. Features are L2-normalized
+        like the dataset path (data/dataset.py video_features)."""
+        from cone_tpu.utils.io import l2_normalize
+
+        ap = np.asarray(feats, np.float32)
+        if self.cfg.data.normalize_v:
+            ap = l2_normalize(ap)
+        self.pipe.ds._vid_cache[clip_id] = (ap, ap)
+        self.pipe._dev_cache = getattr(self.pipe, "_dev_cache", {})
+        self.pipe._dev_cache.pop(clip_id, None)
+        if clip_id not in self.clip_ids:
+            self.clip_ids.append(clip_id)
+
+    # -------------------------------------------------------------- search
+
+    def rank_videos(self, cls_feat: np.ndarray) -> List[tuple]:
+        """Coarse-only corpus ranking: [(video_id, best_window_score)]
+        descending. This is the retrieval signal (query-frame cosine via
+        the trained adapter, cone/inference.py:276-299 generalized across
+        videos); the fine stage refines *moments* within the shortlist."""
+        scored = self._coarse_all(cls_feat)
+        best = {cid: float(np.max(scores[:num_windows(ctx_l, self.pipe.stride)]))
+                for cid, ctx_l, scores in scored}
+        return sorted(best.items(), key=lambda kv: -kv[1])
+
+    def _coarse_all(self, cls_feat: np.ndarray):
+        """(video_id, ctx_l, window_scores) for every resident video; all
+        dispatches issued before the one batched fetch."""
+        assert self.clip_ids, "corpus is empty — add_video() first"
+        cls = np.asarray(cls_feat, np.float32)
+        cls = cls / max(np.linalg.norm(cls), 1e-12)
+        cls_j = jnp.asarray(cls)
+        pend = []
+        for cid in self.clip_ids:
+            appear_j, a_scale, _, _, ctx_l = self.pipe._device_video(cid)
+            adapted = self.pipe._adapt_fn(self.pipe.params, appear_j, a_scale)
+            pend.append((cid, ctx_l,
+                         self._window_scores(adapted, jnp.asarray(ctx_l),
+                                             cls_j)))
+        fetched = jax.device_get([p[2] for p in pend])
+        return [(cid, ctx_l, scores)
+                for (cid, ctx_l, _), (scores, _) in zip(pend, fetched)]
+
+    def search(self, token_feats: np.ndarray, cls_feat: np.ndarray,
+               query: str = "", search_windows: Optional[int] = None,
+               top_moments: int = 10) -> List[Dict]:
+        """Rank moments for one query across the whole corpus.
+
+        Args:
+            token_feats: (Lq, Dt) query token features.
+            cls_feat: (Dt,) holistic query feature.
+            search_windows: corpus-wide window budget for the fine stage
+                (default: data.topk_window, the per-video budget).
+            top_moments: number of moments returned.
+
+        Returns: list of dicts {video_id, span (st_sec, ed_sec), prop,
+        match, fused}, fusion-ranked across videos.
+        """
+        k = search_windows or self.cfg.data.topk_window
+        cls = np.asarray(cls_feat, np.float32)
+        cls = cls / max(np.linalg.norm(cls), 1e-12)
+
+        # stage 1: score every video's windows (dispatch all, fetch once)
+        scored = self._coarse_all(cls_feat)
+
+        # stage 2: global top-k (video, window) merge on host
+        cand = []
+        for cid, ctx_l, scores in scored:
+            n_win = num_windows(ctx_l, self.pipe.stride)
+            for w in range(n_win):
+                cand.append((float(scores[w]), cid, w))
+        cand.sort(key=lambda c: -c[0])
+        chosen: Dict[str, List[int]] = {}
+        for _, cid, w in cand[:k]:
+            chosen.setdefault(cid, []).append(w)
+
+        # stage 3: fine forward per selected video through the pipeline's
+        # own jitted program (query_chunk=1, windows padded to topk_window)
+        kk = self.cfg.data.topk_window
+        tokp = np.zeros((1, self.cfg.data.max_q_l, self.cfg.model.t_feat_dim),
+                        np.float32)
+        n_tok = min(len(token_feats), self.cfg.data.max_q_l)
+        tokp[0, :n_tok] = token_feats[:n_tok]
+        tmask = np.zeros((1, self.cfg.data.max_q_l), np.float32)
+        tmask[0, :n_tok] = 1
+        fine_pend = []
+        for cid, wins in chosen.items():
+            appear_j, a_scale, motion_j, m_scale, ctx_l = (
+                self.pipe._device_video(cid))
+            win_idx = np.zeros((1, kk), np.int32)
+            win_idx[0, : len(wins)] = wins[:kk]
+            fut = self.pipe._fine_fn(
+                self.pipe.params, appear_j, a_scale, motion_j, m_scale,
+                jnp.asarray(ctx_l), jnp.asarray(win_idx), jnp.asarray(tokp),
+                jnp.asarray(tmask), jnp.asarray(cls[None]),
+            )
+            fine_pend.append((cid, len(wins), fut))
+        fine_res = jax.device_get([f[2] for f in fine_pend])
+
+        # stage 4: reference-semantics post-processing, corpus-wide
+        rows = []
+        for (cid, n_wins, _), got in zip(fine_pend, fine_res):
+            spans_sec, prob, match = got[0][0], got[1][0], got[2][0]
+            for w in range(n_wins):
+                for p in range(prob.shape[1]):
+                    rows.append([cid, float(f"{spans_sec[w, p, 0]:.4f}"),
+                                 float(f"{spans_sec[w, p, 1]:.4f}"),
+                                 float(f"{prob[w, p]:.4f}"),
+                                 float(f"{match[w, p]:.4f}")])
+        if not rows:
+            return []
+        prop_n = min_max_normalize([r[3] for r in rows])
+        match_n = min_max_normalize([r[4] for r in rows])
+        fused = [p + m for p, m in zip(prop_n, match_n)]
+
+        # NMS within each video, then one global fusion ranking
+        by_vid: Dict[str, List] = {}
+        for r, f in zip(rows, fused):
+            by_vid.setdefault(r[0], []).append([r[1], r[2], f, r[3], r[4]])
+        out = []
+        for cid, moments in by_vid.items():
+            moments.sort(key=lambda m: -m[2])
+            kept = temporal_nms_host(
+                [m[:3] for m in moments][: self.cfg.eval.max_before_nms],
+                self.cfg.eval.nms_thd, top_moments,
+                hull_union=self.pipe.nms_hull,
+            )
+            scores = {(m[0], m[1]): (m[3], m[4], m[2]) for m in moments}
+            for st, ed, f in kept:
+                pr, ma, fu = scores[(st, ed)]
+                out.append(dict(video_id=cid, span=(st, ed), prop=pr,
+                                match=ma, fused=fu, query=query))
+        out.sort(key=lambda d: -d["fused"])
+        return out[:top_moments]

@@ -1,0 +1,119 @@
+"""Corpus-level retrieval: one query searched across all resident videos
+(serve/corpus.py; no reference counterpart — the reference always grounds
+in the annotated video)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig
+from cone_tpu.data import make_synthetic_dataset
+from cone_tpu.models.init import build_model_and_params
+from cone_tpu.serve.corpus import CorpusRetriever
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ConeConfig(
+        model=ModelConfig(
+            hidden_dim=64, nheads=4, dim_feedforward=128,
+            t_feat_dim=DIM, v_motion_feat_dim=DIM, v_appear_feat_dim=DIM,
+            max_q_l=8, max_v_l=32, adapter_module="none",
+        ),
+        data=DataConfig(
+            max_v_l=32, max_q_l=8, clip_length=1.0, topk_window=5,
+            max_ctx_l=256, max_windows=5,
+        ),
+        eval=EvalConfig(nms_thd=0.5, max_after_nms=5),
+    )
+
+
+@pytest.fixture(scope="module")
+def ds(cfg):
+    # each query's coarse signal is planted only inside its own video
+    return make_synthetic_dataset(
+        cfg.data, n_videos=4, queries_per_video=2, ctx_l_range=(100, 220),
+        dim=DIM, signal=3.0, seed=13,
+    )
+
+
+@pytest.fixture(scope="module")
+def retriever(cfg, ds):
+    model, params = build_model_and_params(cfg.model, seed=0)
+    return CorpusRetriever(model, params, cfg, dataset=ds)
+
+
+def test_rank_videos_finds_the_right_video(retriever, ds):
+    """The coarse retrieval signal (the part that carries the planted
+    query-frame similarity) must rank the query's own video first."""
+    hits = 0
+    for ex in ds.examples:
+        _, cls = ds.query_features(ex.query_id)
+        ranking = retriever.rank_videos(cls)
+        assert len(ranking) == 4
+        scores = [s for _, s in ranking]
+        assert scores == sorted(scores, reverse=True)
+        hits += ranking[0][0] == ex.clip_id
+    assert hits >= len(ds.examples) - 1, hits
+
+
+def test_search_moments_cover_the_right_video(retriever, ds):
+    """End-to-end search: the query's own video appears among the returned
+    moments' videos for every query, and the top moment comes from it for
+    most (the fine stage's fusion rerank is untrained noise here — its
+    *moment* quality is pinned by the per-video pipeline parity tests)."""
+    covered, top_hits = 0, 0
+    for ex in ds.examples:
+        tok, cls = ds.query_features(ex.query_id)
+        out = retriever.search(tok, cls, query=ex.query)
+        assert out, ex.query_id
+        covered += any(o["video_id"] == ex.clip_id for o in out)
+        top_hits += out[0]["video_id"] == ex.clip_id
+    assert covered == len(ds.examples)
+    assert top_hits >= len(ds.examples) // 2, top_hits
+
+
+def test_search_budget_and_format(retriever, ds, cfg):
+    ex = ds.examples[0]
+    tok, cls = ds.query_features(ex.query_id)
+    out = retriever.search(tok, cls, search_windows=8, top_moments=3)
+    assert 1 <= len(out) <= 3
+    fused = [o["fused"] for o in out]
+    assert fused == sorted(fused, reverse=True)
+    for o in out:
+        assert o["span"][0] <= o["span"][1] + 1e-6
+        assert o["video_id"] in {e.clip_id for e in ds.examples}
+
+
+def test_add_video_expands_the_corpus(cfg, ds):
+    model, params = build_model_and_params(cfg.model, seed=0)
+    r = CorpusRetriever(model, params, cfg)
+    assert not r.clip_ids
+    rng = np.random.default_rng(0)
+    r.add_video("fresh", rng.standard_normal((120, DIM)).astype(np.float32))
+    ex = ds.examples[0]
+    tok, cls = ds.query_features(ex.query_id)
+    out = r.search(tok, cls)
+    assert out and all(o["video_id"] == "fresh" for o in out)
+
+
+def test_search_with_int8_corpus_agrees_on_top_video(cfg, ds):
+    """Retrieval composes with the quantized corpus: the top-ranked video
+    matches the fp32 retriever for every query (strong signal)."""
+    model, params = build_model_and_params(cfg.model, seed=0)
+    f32 = CorpusRetriever(model, params, cfg, dataset=ds)
+    i8 = CorpusRetriever(
+        model, params,
+        cfg.replace(eval=dataclasses.replace(cfg.eval, corpus_dtype="int8")),
+        dataset=ds,
+    )
+    agree = 0
+    for ex in ds.examples:
+        tok, cls = ds.query_features(ex.query_id)
+        a = f32.search(tok, cls)
+        b = i8.search(tok, cls)
+        agree += a[0]["video_id"] == b[0]["video_id"]
+    assert agree >= len(ds.examples) - 1

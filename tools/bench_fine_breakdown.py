@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def chain_time(fn, args, perturb_idx, iters=(20, 60)):
+def chain_time(fn, args, perturb_idx, iters=(50, 250)):
     """Chained device timing: perturb args[perturb_idx] (a small operand)
     with a value-neutral data-dependent vector; carry reduces every output
     element. Returns seconds/call from the two-point difference."""
