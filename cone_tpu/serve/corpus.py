@@ -67,21 +67,39 @@ class CorpusRetriever:
             except (AttributeError, TypeError):
                 pass
         # scores variant of the pipeline's coarse program: same adapter +
-        # frame-score + segment-max math, but returns the scores themselves
-        # for the cross-video merge (coarse_fn returns only the ranking)
+        # frame-score + segment-max math as eval/pipeline.py adapt_core +
+        # coarse_fn, but (a) returns the scores themselves for the
+        # cross-video merge, and (b) runs over a whole STACKED bucket of
+        # movies in ONE dispatch — per-dispatch overhead (~ms over a
+        # tunnel) dwarfs the per-movie device work (~25 us for a 2 h movie
+        # int8), so one-dispatch-per-movie scanning is overhead-bound.
         from cone_tpu.ops.windows import window_scores_from_frame_scores
 
         stride = self.pipe.stride
+        mcfg = self.cfg.model
+        model_ = model
 
         @jax.jit
-        def window_scores(adapted, ctx_l, cls):
-            max_w = num_windows(adapted.shape[0], stride)
-            frame = adapted @ cls  # (Lmax,)
-            scores, valid = window_scores_from_frame_scores(
-                frame, ctx_l, stride, max_w)
-            return scores, valid
+        def stacked_scores(params, A, S, ctx, cls):
+            """(V, Lb, D) encoded corpus + (V, Lb|1, 1) scales + (V,) ctx
+            -> (V, n_w) window scores for one query."""
+            max_w = num_windows(A.shape[1], stride)
 
-        self._window_scores = window_scores
+            def one(a, s, c):
+                feats = a.astype(jnp.float32) * s
+                if mcfg.adapter_module == "linear":
+                    out = model_.apply({"params": params}, feats,
+                                       method=type(model_).adapt)
+                    norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+                    feats = out / jnp.where(norm == 0, 1.0, norm)
+                frame = feats @ cls
+                return window_scores_from_frame_scores(
+                    frame, c, stride, max_w)[0]
+
+            return jax.vmap(one)(A, S, ctx)
+
+        self._stacked_scores = stacked_scores
+        self._stacked = None  # {bucket_len: (ids, A, S, ctx_arr)}
 
     def _empty_ds(self):
         d = self.cfg.model.v_appear_feat_dim
@@ -104,6 +122,7 @@ class CorpusRetriever:
         self.pipe.ds._vid_cache[clip_id] = (ap, ap)
         self.pipe._dev_cache = getattr(self.pipe, "_dev_cache", {})
         self.pipe._dev_cache.pop(clip_id, None)
+        self._stacked = None  # rebuild the stacked corpus lazily
         if clip_id not in self.clip_ids:
             self.clip_ids.append(clip_id)
 
@@ -119,23 +138,65 @@ class CorpusRetriever:
                 for cid, ctx_l, scores in scored}
         return sorted(best.items(), key=lambda kv: -kv[1])
 
-    def _coarse_all(self, cls_feat: np.ndarray):
-        """(video_id, ctx_l, window_scores) for every resident video; all
-        dispatches issued before the one batched fetch."""
+    def _ensure_stacked(self):
+        """Group the corpus by padded bucket length into stacked device
+        tensors ((V, Lb, D) features + scales + (V,) ctx). Per-video cache
+        entries are dropped afterwards — the stack IS the resident corpus;
+        the fine stage slices its shortlisted movies back out of it."""
+        if self._stacked is not None:
+            return self._stacked
         assert self.clip_ids, "corpus is empty — add_video() first"
+        by_bucket: Dict[int, List[str]] = {}
+        for cid in self.clip_ids:
+            l_pad = self.pipe._device_video(cid)[0].shape[0]
+            by_bucket.setdefault(l_pad, []).append(cid)
+        stacked = {}
+        for l_pad, ids in sorted(by_bucket.items()):
+            vids = [self.pipe._device_video(c) for c in ids]
+            A = jnp.stack([v[0] for v in vids])
+            S = jnp.stack([v[1] for v in vids])
+            if any(v[2] is not v[0] for v in vids):  # dual-stream corpus
+                M = jnp.stack([v[2] for v in vids])
+                MS = jnp.stack([v[3] for v in vids])
+            else:
+                M, MS = None, None
+            ctx = jnp.asarray([v[4] for v in vids], jnp.int32)
+            ctxs = [v[4] for v in vids]
+            stacked[l_pad] = (ids, A, S, M, MS, ctx, ctxs)
+        self.pipe._dev_cache = {}
+        self._stacked = stacked
+        return stacked
+
+    def _video_arrays(self, clip_id: str):
+        """(appear, a_scale, motion, m_scale, ctx_l) for one movie, sliced
+        out of the resident stack (transient device copy, freed after the
+        search)."""
+        for ids, A, S, M, MS, _, ctxs in self._ensure_stacked().values():
+            if clip_id in ids:
+                i = ids.index(clip_id)
+                a, s = A[i], S[i]
+                if M is None:
+                    return a, s, a, s, ctxs[i]
+                return a, s, M[i], MS[i], ctxs[i]
+        raise KeyError(clip_id)
+
+    def _coarse_all(self, cls_feat: np.ndarray):
+        """(video_id, ctx_l, window_scores) for every resident video: ONE
+        dispatch per ctx bucket over the stacked corpus, one batched
+        fetch."""
         cls = np.asarray(cls_feat, np.float32)
         cls = cls / max(np.linalg.norm(cls), 1e-12)
         cls_j = jnp.asarray(cls)
         pend = []
-        for cid in self.clip_ids:
-            appear_j, a_scale, _, _, ctx_l = self.pipe._device_video(cid)
-            adapted = self.pipe._adapt_fn(self.pipe.params, appear_j, a_scale)
-            pend.append((cid, ctx_l,
-                         self._window_scores(adapted, jnp.asarray(ctx_l),
-                                             cls_j)))
+        for ids, A, S, _, _, ctx, ctxs in self._ensure_stacked().values():
+            fut = self._stacked_scores(self.pipe.params, A, S, ctx, cls_j)
+            pend.append((ids, ctxs, fut))
         fetched = jax.device_get([p[2] for p in pend])
-        return [(cid, ctx_l, scores)
-                for (cid, ctx_l, _), (scores, _) in zip(pend, fetched)]
+        out = []
+        for (ids, ctxs, _), scores in zip(pend, fetched):
+            out.extend((cid, ctx_l, scores[i])
+                       for i, (cid, ctx_l) in enumerate(zip(ids, ctxs)))
+        return out
 
     def search(self, token_feats: np.ndarray, cls_feat: np.ndarray,
                query: str = "", search_windows: Optional[int] = None,
@@ -182,7 +243,7 @@ class CorpusRetriever:
         fine_pend = []
         for cid, wins in chosen.items():
             appear_j, a_scale, motion_j, m_scale, ctx_l = (
-                self.pipe._device_video(cid))
+                self._video_arrays(cid))
             win_idx = np.zeros((1, kk), np.int32)
             win_idx[0, : len(wins)] = wins[:kk]
             fut = self.pipe._fine_fn(

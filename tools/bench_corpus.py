@@ -1,0 +1,101 @@
+"""Corpus-level retrieval benchmark: search latency across a movie library.
+
+Loads N MAD-scale movies (2 h @ 5 fps = 36k clips, 512-d) as an
+int8-quantized HBM-resident corpus and measures CorpusRetriever.search —
+one query scanning EVERY movie (coarse matvec per movie, global merge,
+fine refinement of the shortlist). Run on TPU:
+
+    python tools/bench_corpus.py [n_movies]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    n_movies = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}")
+
+    import dataclasses as dc
+
+    from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig
+    from cone_tpu.models.init import build_model_and_params
+    from cone_tpu.serve.corpus import CorpusRetriever
+
+    dim, ctx = 512, 36000
+    cfg = ConeConfig(
+        model=ModelConfig(t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_v_l=125, max_q_l=20,
+                          compute_dtype="bfloat16"),
+        data=DataConfig(dset_name="mad", max_v_l=125, clip_length=0.2,
+                        topk_window=30, max_q_l=20, max_ctx_l=65536),
+        eval=EvalConfig(nms_thd=0.5, max_after_nms=5,
+                        ctx_buckets=(36864,), corpus_dtype="int8"),
+    )
+    model, params = build_model_and_params(cfg.model, seed=0)
+    r = CorpusRetriever(model, params, cfg)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for i in range(n_movies):
+        # generate in float16-size chunks to keep host RAM sane
+        feats = rng.standard_normal((ctx, dim)).astype(np.float32)
+        r.add_video(f"movie_{i:03d}", feats)
+        # force the (int8) upload now so library build time is measured
+        r.pipe._device_video(f"movie_{i:03d}")
+        del feats
+    resident = sum(
+        v.nbytes for c in r.clip_ids for v in r.pipe._device_video(c)[:2])
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"library: {n_movies} movies x {ctx} clips x {dim}d"
+          f" = {n_movies * ctx / 5 / 3600:.0f} h of video,"
+          f" {resident / 1e9:.2f} GB resident int8"
+          f" (build {time.time() - t0:.0f}s)", file=sys.stderr)
+
+    tok = rng.standard_normal((20, dim)).astype(np.float32)
+    cls = rng.standard_normal((dim,)).astype(np.float32)
+
+    # warmup / compile
+    out = r.search(tok, cls)
+    rank = r.rank_videos(cls)
+    assert len(rank) == n_movies and out
+
+    lat_c, lat_f = [], []
+    for i in range(5):
+        c2 = cls + np.float32(i) * 1e-6  # fresh values, same shapes
+        t0 = time.time()
+        r.rank_videos(c2)
+        lat_c.append(time.time() - t0)
+        t0 = time.time()
+        r.search(tok, c2)
+        lat_f.append(time.time() - t0)
+    coarse_ms = min(lat_c) * 1e3
+    full_ms = min(lat_f) * 1e3
+    hours = n_movies * ctx / 5 / 3600
+    print(f"rank_videos (coarse scan of all movies): {coarse_ms:.1f} ms"
+          f" -> {hours / (coarse_ms / 1e3):.0f} video-hours scanned/sec",
+          file=sys.stderr)
+    print(f"full search (scan + fine + NMS + rank): {full_ms:.1f} ms"
+          f" -> {1e3 / full_ms:.1f} searches/sec", file=sys.stderr)
+
+    import json
+
+    print(json.dumps({
+        "metric": "corpus_search_ms", "value": round(full_ms, 1),
+        "unit": "ms/search", "n_movies": n_movies,
+        "video_hours": round(hours, 1),
+        "coarse_scan_ms": round(coarse_ms, 1),
+        "resident_gb_int8": round(resident / 1e9, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
