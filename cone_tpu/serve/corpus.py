@@ -42,17 +42,24 @@ from cone_tpu.utils.io import min_max_normalize
 
 
 class CorpusRetriever:
-    """Search a query against all resident videos.
+    """Search one query — or a batch — against all resident videos.
 
-    Built on a dedicated `InferencePipeline` with query_chunk=1 (one query
-    per search call); video features upload once (quantized per
-    eval.corpus_dtype) and are shared across searches.
+    Built on a dedicated `InferencePipeline` (fine programs compiled at
+    `fine_chunk` query lanes); video features upload once (quantized per
+    eval.corpus_dtype, stacked per ctx bucket) and are shared across
+    searches.
     """
 
     def __init__(self, model, params, cfg: ConeConfig,
-                 dataset: Optional[GroundingDataset] = None):
-        cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, query_chunk=1))
+                 dataset: Optional[GroundingDataset] = None,
+                 fine_chunk: int = 8):
+        # fine_chunk: queries batched per fine dispatch in search_batch
+        # (and the padding width of a single-query search — its fine cost
+        # is dominated by the dispatch round trip, not the extra lanes)
+        cfg = cfg.replace(
+            eval=dataclasses.replace(cfg.eval, query_chunk=fine_chunk))
         self.cfg = cfg
+        self.fine_chunk = fine_chunk
         ds = dataset if dataset is not None else self._empty_ds()
         self.pipe = InferencePipeline(model, params, ds, cfg)
         self.clip_ids: List[str] = (
@@ -80,9 +87,11 @@ class CorpusRetriever:
         model_ = model
 
         @jax.jit
-        def stacked_scores(params, A, S, ctx, cls):
-            """(V, Lb, D) encoded corpus + (V, Lb|1, 1) scales + (V,) ctx
-            -> (V, n_w) window scores for one query."""
+        def stacked_scores(params, A, S, ctx, clss):
+            """(V, Lb, D) encoded corpus + scales + (V,) ctx + (Q, D)
+            query CLS batch -> (V, Q, n_w) window scores. Any number of
+            queries rides the same per-bucket dispatch — the matmul grows
+            a lane, the HBM stream (the cost) does not."""
             max_w = num_windows(A.shape[1], stride)
 
             def one(a, s, c):
@@ -92,9 +101,11 @@ class CorpusRetriever:
                                        method=type(model_).adapt)
                     norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
                     feats = out / jnp.where(norm == 0, 1.0, norm)
-                frame = feats @ cls
-                return window_scores_from_frame_scores(
-                    frame, c, stride, max_w)[0]
+                frame = clss @ feats.T  # (Q, Lb)
+                return jax.vmap(
+                    lambda fq: window_scores_from_frame_scores(
+                        fq, c, stride, max_w)[0]
+                )(frame)  # (Q, n_w)
 
             return jax.vmap(one)(A, S, ctx)
 
@@ -133,9 +144,11 @@ class CorpusRetriever:
         descending. This is the retrieval signal (query-frame cosine via
         the trained adapter, cone/inference.py:276-299 generalized across
         videos); the fine stage refines *moments* within the shortlist."""
-        scored = self._coarse_all(cls_feat)
-        best = {cid: float(np.max(scores[:num_windows(ctx_l, self.pipe.stride)]))
-                for cid, ctx_l, scores in scored}
+        scored = self._coarse_all(np.asarray(cls_feat, np.float32)[None])
+        best = {
+            cid: float(np.max(scores[0][:num_windows(ctx_l, self.pipe.stride)]))
+            for cid, ctx_l, scores in scored
+        }
         return sorted(best.items(), key=lambda kv: -kv[1])
 
     def _ensure_stacked(self):
@@ -180,16 +193,16 @@ class CorpusRetriever:
                 return a, s, M[i], MS[i], ctxs[i]
         raise KeyError(clip_id)
 
-    def _coarse_all(self, cls_feat: np.ndarray):
-        """(video_id, ctx_l, window_scores) for every resident video: ONE
-        dispatch per ctx bucket over the stacked corpus, one batched
-        fetch."""
-        cls = np.asarray(cls_feat, np.float32)
-        cls = cls / max(np.linalg.norm(cls), 1e-12)
-        cls_j = jnp.asarray(cls)
+    def _coarse_all(self, cls_feats: np.ndarray):
+        """(video_id, ctx_l, (Q, n_w) window scores) for every resident
+        video: ONE dispatch per ctx bucket over the stacked corpus for the
+        whole query batch, one batched fetch."""
+        clss = np.asarray(cls_feats, np.float32)
+        norms = np.maximum(np.linalg.norm(clss, axis=-1, keepdims=True), 1e-12)
+        clss_j = jnp.asarray(clss / norms)
         pend = []
         for ids, A, S, _, _, ctx, ctxs in self._ensure_stacked().values():
-            fut = self._stacked_scores(self.pipe.params, A, S, ctx, cls_j)
+            fut = self._stacked_scores(self.pipe.params, A, S, ctx, clss_j)
             pend.append((ids, ctxs, fut))
         fetched = jax.device_get([p[2] for p in pend])
         out = []
@@ -201,76 +214,132 @@ class CorpusRetriever:
     def search(self, token_feats: np.ndarray, cls_feat: np.ndarray,
                query: str = "", search_windows: Optional[int] = None,
                top_moments: int = 10) -> List[Dict]:
-        """Rank moments for one query across the whole corpus.
+        """Rank moments for ONE query across the whole corpus (see
+        search_batch). token_feats: (Lq, Dt); cls_feat: (Dt,)."""
+        return self.search_batch(
+            [token_feats], np.asarray(cls_feat, np.float32)[None],
+            queries=[query], search_windows=search_windows,
+            top_moments=top_moments,
+        )[0]
+
+    def search_batch(self, token_feats_list, cls_feats: np.ndarray,
+                     queries: Optional[List[str]] = None,
+                     search_windows: Optional[int] = None,
+                     top_moments: int = 10) -> List[List[Dict]]:
+        """Rank moments for a BATCH of queries across the whole corpus.
+
+        All queries share the per-bucket coarse scans (the corpus HBM
+        stream is paid once per batch, not per query), and the fine stage
+        batches up to `fine_chunk` queries that shortlisted the same movie
+        into one dispatch.
 
         Args:
-            token_feats: (Lq, Dt) query token features.
-            cls_feat: (Dt,) holistic query feature.
-            search_windows: corpus-wide window budget for the fine stage
-                (default: data.topk_window, the per-video budget).
-            top_moments: number of moments returned.
+            token_feats_list: Q arrays of (Lq_i, Dt) query token features.
+            cls_feats: (Q, Dt) holistic query features.
+            search_windows: corpus-wide window budget per query (default:
+                data.topk_window, the per-video budget).
+            top_moments: moments returned per query.
 
-        Returns: list of dicts {video_id, span (st_sec, ed_sec), prop,
-        match, fused}, fusion-ranked across videos.
+        Returns: per query, a list of dicts {video_id, span (st, ed),
+        prop, match, fused}, fusion-ranked across videos.
         """
+        nq = len(token_feats_list)
+        queries = queries or [""] * nq
         k = search_windows or self.cfg.data.topk_window
-        cls = np.asarray(cls_feat, np.float32)
-        cls = cls / max(np.linalg.norm(cls), 1e-12)
-
-        # stage 1: score every video's windows (dispatch all, fetch once)
-        scored = self._coarse_all(cls_feat)
-
-        # stage 2: global top-k (video, window) merge on host
-        cand = []
-        for cid, ctx_l, scores in scored:
-            n_win = num_windows(ctx_l, self.pipe.stride)
-            for w in range(n_win):
-                cand.append((float(scores[w]), cid, w))
-        cand.sort(key=lambda c: -c[0])
-        chosen: Dict[str, List[int]] = {}
-        for _, cid, w in cand[:k]:
-            chosen.setdefault(cid, []).append(w)
-
-        # stage 3: fine forward per selected video through the pipeline's
-        # own jitted program (query_chunk=1, windows padded to topk_window)
         kk = self.cfg.data.topk_window
-        tokp = np.zeros((1, self.cfg.data.max_q_l, self.cfg.model.t_feat_dim),
-                        np.float32)
-        n_tok = min(len(token_feats), self.cfg.data.max_q_l)
-        tokp[0, :n_tok] = token_feats[:n_tok]
-        tmask = np.zeros((1, self.cfg.data.max_q_l), np.float32)
-        tmask[0, :n_tok] = 1
+        fc = self.fine_chunk
+        clss = np.asarray(cls_feats, np.float32)
+        clss = clss / np.maximum(
+            np.linalg.norm(clss, axis=-1, keepdims=True), 1e-12)
+
+        # stage 1: every bucket scanned once for the whole query batch
+        scored = self._coarse_all(clss)
+
+        # stage 2: per-query global top-k (video, window) merge, vectorized
+        # (a Python loop over Q x total-windows tuples costs hundreds of ms
+        # at MAD library scale)
+        cols_scores, col_cid, col_w = [], [], []
+        for cid, ctx_l, scores in scored:  # scores: (Q, n_w_padded)
+            n_win = num_windows(ctx_l, self.pipe.stride)
+            cols_scores.append(np.asarray(scores[:, :n_win]))
+            col_cid.extend([cid] * n_win)
+            col_w.extend(range(n_win))
+        S = np.concatenate(cols_scores, axis=1)  # (Q, W_total)
+        col_w = np.asarray(col_w)
+        kth = min(k, S.shape[1])
+        top = np.argpartition(-S, kth - 1, axis=1)[:, :kth]
+        chosen: List[Dict[str, List[int]]] = [dict() for _ in range(nq)]
+        for qi in range(nq):
+            cols = top[qi][np.argsort(-S[qi, top[qi]], kind="stable")]
+            for c in cols:
+                chosen[qi].setdefault(col_cid[c], []).append(int(col_w[c]))
+
+        # stage 3: fine — queries that shortlisted the same movie batch
+        # into one dispatch (fine_chunk lanes); all dispatches before the
+        # one batched fetch
+        toks_np = np.zeros((nq, self.cfg.data.max_q_l,
+                            self.cfg.model.t_feat_dim), np.float32)
+        tmask_np = np.zeros((nq, self.cfg.data.max_q_l), np.float32)
+        for qi, tok in enumerate(token_feats_list):
+            n_tok = min(len(tok), self.cfg.data.max_q_l)
+            toks_np[qi, :n_tok] = tok[:n_tok]
+            tmask_np[qi, :n_tok] = 1
+
+        by_movie: Dict[str, List[tuple]] = {}
+        for qi, ch in enumerate(chosen):
+            for cid, wins in ch.items():
+                by_movie.setdefault(cid, []).append((qi, wins))
         fine_pend = []
-        for cid, wins in chosen.items():
+        for cid, lst in by_movie.items():
             appear_j, a_scale, motion_j, m_scale, ctx_l = (
                 self._video_arrays(cid))
-            win_idx = np.zeros((1, kk), np.int32)
-            win_idx[0, : len(wins)] = wins[:kk]
-            fut = self.pipe._fine_fn(
-                self.pipe.params, appear_j, a_scale, motion_j, m_scale,
-                jnp.asarray(ctx_l), jnp.asarray(win_idx), jnp.asarray(tokp),
-                jnp.asarray(tmask), jnp.asarray(cls[None]),
-            )
-            fine_pend.append((cid, len(wins), fut))
+            for i in range(0, len(lst), fc):
+                grp = lst[i : i + fc]
+                win_idx = np.zeros((fc, kk), np.int32)
+                toks = np.zeros((fc,) + toks_np.shape[1:], np.float32)
+                tmask = np.zeros((fc,) + tmask_np.shape[1:], np.float32)
+                cls_rows = np.zeros((fc, clss.shape[1]), np.float32)
+                cls_rows[:, 0] = 1.0  # pad rows: unit vector, no 0/0
+                for j, (qi, wins) in enumerate(grp):
+                    win_idx[j, : len(wins)] = wins[:kk]
+                    toks[j], tmask[j] = toks_np[qi], tmask_np[qi]
+                    cls_rows[j] = clss[qi]
+                fut = self.pipe._fine_fn(
+                    self.pipe.params, appear_j, a_scale, motion_j, m_scale,
+                    jnp.asarray(ctx_l), jnp.asarray(win_idx),
+                    jnp.asarray(toks), jnp.asarray(tmask),
+                    jnp.asarray(cls_rows),
+                )
+                fine_pend.append((cid, grp, fut))
         fine_res = jax.device_get([f[2] for f in fine_pend])
 
-        # stage 4: reference-semantics post-processing, corpus-wide
-        rows = []
-        for (cid, n_wins, _), got in zip(fine_pend, fine_res):
-            spans_sec, prob, match = got[0][0], got[1][0], got[2][0]
-            for w in range(n_wins):
-                for p in range(prob.shape[1]):
-                    rows.append([cid, float(f"{spans_sec[w, p, 0]:.4f}"),
-                                 float(f"{spans_sec[w, p, 1]:.4f}"),
-                                 float(f"{prob[w, p]:.4f}"),
-                                 float(f"{match[w, p]:.4f}")])
+        # stage 4: reference-semantics post-processing, per query
+        rows: List[List[list]] = [[] for _ in range(nq)]
+        for (cid, grp, _), got in zip(fine_pend, fine_res):
+            spans_sec, prob, match = got[0], got[1], got[2]
+            for j, (qi, wins) in enumerate(grp):
+                for w in range(len(wins)):
+                    for p in range(prob.shape[2]):
+                        rows[qi].append(
+                            [cid, float(f"{spans_sec[j, w, p, 0]:.4f}"),
+                             float(f"{spans_sec[j, w, p, 1]:.4f}"),
+                             float(f"{prob[j, w, p]:.4f}"),
+                             float(f"{match[j, w, p]:.4f}")])
+        return [
+            self._postprocess(rows[qi], queries[qi], top_moments)
+            for qi in range(nq)
+        ]
+
+    def _postprocess(self, rows, query: str, top_moments: int) -> List[Dict]:
+        """Min-max fusion over one query's corpus-wide candidate set, NMS
+        within each video, one global fusion ranking (the per-video
+        pipeline's reference semantics extended across videos)."""
         if not rows:
             return []
         prop_n = min_max_normalize([r[3] for r in rows])
         match_n = min_max_normalize([r[4] for r in rows])
         fused = [p + m for p, m in zip(prop_n, match_n)]
 
-        # NMS within each video, then one global fusion ranking
         by_vid: Dict[str, List] = {}
         for r, f in zip(rows, fused):
             by_vid.setdefault(r[0], []).append([r[1], r[2], f, r[3], r[4]])

@@ -117,3 +117,23 @@ def test_search_with_int8_corpus_agrees_on_top_video(cfg, ds):
         b = i8.search(tok, cls)
         agree += a[0]["video_id"] == b[0]["video_id"]
     assert agree >= len(ds.examples) - 1
+
+
+def test_search_batch_matches_single_searches(retriever, ds):
+    """search_batch == per-query search (same merge, fine math and
+    postproc; the batch only changes dispatch packing)."""
+    toks, clss, singles = [], [], []
+    for ex in ds.examples[:5]:
+        tok, cls = ds.query_features(ex.query_id)
+        toks.append(tok)
+        clss.append(cls)
+        singles.append(retriever.search(tok, cls, query=ex.query))
+    batch = retriever.search_batch(
+        toks, np.stack(clss), queries=[e.query for e in ds.examples[:5]])
+    assert len(batch) == 5
+    for got, want in zip(batch, singles):
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g["video_id"] == w["video_id"]
+            np.testing.assert_allclose(g["span"], w["span"], atol=1e-4)
+            np.testing.assert_allclose(g["fused"], w["fused"], atol=1e-3)
