@@ -137,3 +137,29 @@ def test_search_batch_matches_single_searches(retriever, ds):
             assert g["video_id"] == w["video_id"]
             np.testing.assert_allclose(g["span"], w["span"], atol=1e-4)
             np.testing.assert_allclose(g["fused"], w["fused"], atol=1e-3)
+
+
+def test_dual_stream_corpus(cfg, ds):
+    """A corpus with distinct appearance/motion stores exercises the
+    stacked dual-stream branch (M/MS); results stay well-formed and the
+    coarse ranking (appearance-driven) still finds the planted video."""
+    from cone_tpu.data.dataset import GroundingDataset
+    from cone_tpu.data.store import InMemoryArrayStore
+
+    rng = np.random.default_rng(3)
+    appear = {c: ds.video_features(c)[0] for c in ds.video_ids}
+    motion = {c: a + 0.01 * rng.standard_normal(a.shape).astype(np.float32)
+              for c, a in appear.items()}
+    dual = GroundingDataset(ds.examples, InMemoryArrayStore(appear), ds.text,
+                            cfg.data,
+                            video_motion_store=InMemoryArrayStore(motion))
+    model, params = build_model_and_params(cfg.model, seed=0)
+    r = CorpusRetriever(model, params, cfg, dataset=dual)
+    ex = ds.examples[0]
+    tok, cls = ds.query_features(ex.query_id)
+    assert r.rank_videos(cls)[0][0] == ex.clip_id
+    out = r.search(tok, cls)
+    assert out and all(o["span"][0] <= o["span"][1] + 1e-6 for o in out)
+    # the stack kept two streams
+    bucket = next(iter(r._ensure_stacked().values()))
+    assert bucket[3] is not None  # M
