@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cone_tpu.config import ConeConfig
-from cone_tpu.data.dataset import GroundingDataset, QueryExample
+from cone_tpu.data.dataset import GroundingDataset
 from cone_tpu.data.store import InMemoryArrayStore, TextFeatureStore
 from cone_tpu.eval.pipeline import InferencePipeline
 from cone_tpu.ops.nms import temporal_nms_host
@@ -113,8 +113,6 @@ class CorpusRetriever:
         self._stacked = None  # {bucket_len: (ids, A, S, ctx_arr)}
 
     def _empty_ds(self):
-        d = self.cfg.model.v_appear_feat_dim
-        t = self.cfg.model.t_feat_dim
         text = TextFeatureStore(InMemoryArrayStore({}), InMemoryArrayStore({}))
         return GroundingDataset([], InMemoryArrayStore({}), text,
                                 self.cfg.data)
