@@ -52,16 +52,24 @@ class CorpusRetriever:
 
     def __init__(self, model, params, cfg: ConeConfig,
                  dataset: Optional[GroundingDataset] = None,
-                 fine_chunk: int = 8):
+                 fine_chunk: int = 8, mesh=None):
         # fine_chunk: queries batched per fine dispatch in search_batch
         # (and the padding width of a single-query search — its fine cost
-        # is dominated by the dispatch round trip, not the extra lanes)
+        # is dominated by the dispatch round trip, not the extra lanes).
+        # mesh: shard the LIBRARY over the `dp` axis — each chip holds and
+        # coarse-scans its own movies, so capacity and scan throughput
+        # scale linearly with chips (zero collectives; the tiny (V, Q, n_w)
+        # score tensor is the only cross-chip traffic, at fetch time).
         cfg = cfg.replace(
             eval=dataclasses.replace(cfg.eval, query_chunk=fine_chunk))
         self.cfg = cfg
         self.fine_chunk = fine_chunk
+        self.mesh = mesh
         ds = dataset if dataset is not None else self._empty_ds()
-        self.pipe = InferencePipeline(model, params, ds, cfg)
+        # the pipeline's mesh shardings also cover the fine program (its
+        # query-lane axis shards over dp; the sliced movie inputs reshard
+        # to replicated automatically via the jit in_shardings)
+        self.pipe = InferencePipeline(model, params, ds, cfg, mesh=mesh)
         self.clip_ids: List[str] = (
             sorted({e.clip_id for e in ds.examples}) if dataset is not None
             else []
@@ -109,6 +117,16 @@ class CorpusRetriever:
 
             return jax.vmap(one)(A, S, ctx)
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            vsh = NamedSharding(mesh, P("dp"))
+            stacked_scores = jax.jit(
+                stacked_scores.__wrapped__,
+                in_shardings=(rep, vsh, vsh, vsh, rep),
+                out_shardings=vsh,
+            )
         self._stacked_scores = stacked_scores
         self._stacked = None  # {bucket_len: (ids, A, S, ctx_arr)}
 
@@ -164,6 +182,13 @@ class CorpusRetriever:
         stacked = {}
         for l_pad, ids in sorted(by_bucket.items()):
             vids = [self.pipe._device_video(c) for c in ids]
+            if self.mesh is not None:
+                # pad V to the mesh size so the movie axis shards evenly;
+                # padded rows repeat movie 0 and are dropped at unzip time
+                # (ids/ctxs keep the true length)
+                n_dev = int(np.prod([self.mesh.shape[a]
+                                     for a in self.mesh.axis_names]))
+                vids = vids + [vids[0]] * ((-len(ids)) % n_dev)
             A = jnp.stack([v[0] for v in vids])
             S = jnp.stack([v[1] for v in vids])
             if any(v[2] is not v[0] for v in vids):  # dual-stream corpus
@@ -172,7 +197,17 @@ class CorpusRetriever:
             else:
                 M, MS = None, None
             ctx = jnp.asarray([v[4] for v in vids], jnp.int32)
-            ctxs = [v[4] for v in vids]
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                vsh = NamedSharding(self.mesh, P("dp"))
+                A = jax.device_put(A, vsh)
+                S = jax.device_put(S, vsh)
+                ctx = jax.device_put(ctx, vsh)
+                if M is not None:
+                    M = jax.device_put(M, vsh)
+                    MS = jax.device_put(MS, vsh)
+            ctxs = [v[4] for v in vids[: len(ids)]]
             stacked[l_pad] = (ids, A, S, M, MS, ctx, ctxs)
         self.pipe._dev_cache = {}
         self._stacked = stacked

@@ -163,3 +163,28 @@ def test_dual_stream_corpus(cfg, ds):
     # the stack kept two streams
     bucket = next(iter(r._ensure_stacked().values()))
     assert bucket[3] is not None  # M
+
+
+def test_mesh_sharded_library_matches_single(cfg, ds):
+    """The library sharded over an 8-device mesh (each chip scans its own
+    movies) returns the same rankings and moments as single-device."""
+    from cone_tpu.parallel.mesh import make_mesh
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    single = CorpusRetriever(model, params, cfg, dataset=ds)
+    sharded = CorpusRetriever(model, params, cfg, dataset=ds,
+                              mesh=make_mesh(8))
+    for ex in ds.examples[:4]:
+        tok, cls = ds.query_features(ex.query_id)
+        r1 = single.rank_videos(cls)
+        r2 = sharded.rank_videos(cls)
+        assert [v for v, _ in r1] == [v for v, _ in r2]
+        np.testing.assert_allclose([s for _, s in r1], [s for _, s in r2],
+                                   atol=1e-5)
+        o1 = single.search(tok, cls)
+        o2 = sharded.search(tok, cls)
+        assert len(o1) == len(o2)
+        for a, b in zip(o1, o2):
+            assert a["video_id"] == b["video_id"]
+            np.testing.assert_allclose(a["span"], b["span"], atol=1e-4)
+            np.testing.assert_allclose(a["fused"], b["fused"], atol=1e-3)
