@@ -168,7 +168,7 @@ def test_cli_train_infer_roundtrip(tmp_path):
         [sys.executable, "-m", "cone_tpu.cli", "train", "--config", str(cfg_path),
          "--workdir", workdir, "--train_path", str(jsonl),
          "--eval_path", str(jsonl)],
-        capture_output=True, text=True, env=env, timeout=900,
+        capture_output=True, text=True, env=env, timeout=1800,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(os.path.join(workdir, "model_best.msgpack"))
@@ -176,7 +176,7 @@ def test_cli_train_infer_roundtrip(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "cone_tpu.cli", "infer", "--workdir", workdir,
          "--ckpt", "best"],
-        capture_output=True, text=True, env=env, timeout=900,
+        capture_output=True, text=True, env=env, timeout=1800,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "Rank@1" in r.stdout
