@@ -208,7 +208,27 @@ def cmd_convert_store(args):
     print(f"wrote {len(items)} entries to {args.output}")
 
 
+def _force_platform_from_env():
+    """Make JAX_PLATFORMS authoritative for CLI runs.
+
+    On hosts whose PJRT plugin overrides the env var during registration
+    (this environment's tunneled TPU plugin does), `JAX_PLATFORMS=cpu
+    python -m cone_tpu.cli ...` would silently run on the TPU anyway —
+    and die whenever the tunnel is wedged. `jax.config.update` before
+    first backend use wins over the plugin (same pattern as
+    __graft_entry__.dryrun_multichip and tests/conftest.py)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized; env semantics apply
+
+
 def main(argv=None):
+    _force_platform_from_env()
     p = argparse.ArgumentParser(prog="cone_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
