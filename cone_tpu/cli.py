@@ -258,8 +258,8 @@ def main(argv=None):
                    help="official nested Ego4D GT json: also run the"
                         " challenge evaluator")
     i.add_argument("--fused", action="store_true",
-                   help="single-dispatch fused inference (fastest;"
-                        " device postproc, fusion modality only)")
+                   help="single-dispatch fused inference (fastest; device"
+                        " postproc, all three scoring modalities)")
     i.set_defaults(fn=cmd_infer)
 
     r = sub.add_parser("reformat", help="challenge json -> flat jsonl")

@@ -140,7 +140,9 @@ class EvalConfig:
     nms_thd: float = 0.5
     max_before_nms: int = 200
     max_after_nms: int = 5
-    eval_modality: str = "both"   # "both" | "proposal" | "matching"
+    # "both" | "proposal" | "matching" | "clip" ("clip" = the reference's own
+    # name for the matching modality, cone/inference.py:489)
+    eval_modality: str = "both"
     no_sort_results: bool = False
     # chunk of queries per device batch in the fine stage
     query_chunk: int = 32

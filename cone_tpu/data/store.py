@@ -7,7 +7,8 @@ the *packed store* (.cfs): one contiguous mmap-able matrix plus a key index,
 so a video's rows can be sliced zero-copy by any reader (numpy mmap now; the
 native C++ prefetching reader in native/feature_store.cpp uses the same
 format). LMDB remains supported behind an optional import for ingesting
-reference-produced databases (tools/convert_lmdb.py).
+reference-produced databases (`python -m cone_tpu.cli convert-store
+--format lmdb`).
 
 Packed store layout (little-endian):
     magic  b"CFST"  | version u32 | dim u32 | dtype u8 (0=f32,1=f16) |
@@ -144,7 +145,8 @@ class LmdbArrayStore:
         except ImportError as e:  # pragma: no cover
             raise ImportError(
                 "lmdb not installed; convert the database to a packed .cfs "
-                "store with tools/convert_lmdb.py on a host that has lmdb"
+                "store with `python -m cone_tpu.cli convert-store --format "
+                "lmdb` on a host that has lmdb"
             ) from e
         self._env = lmdb.open(path, readonly=True, create=False, readahead=False)
         self._txn = self._env.begin(buffers=True)

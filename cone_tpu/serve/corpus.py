@@ -137,16 +137,28 @@ class CorpusRetriever:
 
     # -------------------------------------------------------------- corpus
 
-    def add_video(self, clip_id: str, feats: np.ndarray) -> None:
+    def add_video(self, clip_id: str, feats: np.ndarray,
+                  motion_feats: Optional[np.ndarray] = None) -> None:
         """Add/replace one video's (L, D) clip features; uploads (encoded
         per eval.corpus_dtype) on first use. Features are L2-normalized
-        like the dataset path (data/dataset.py video_features)."""
+        like the dataset path (data/dataset.py video_features).
+
+        `motion_feats` supplies the Moment-DETR branch's stream for
+        dual-stream corpora (same_visual=False datasets); omitted, the
+        appearance features serve both branches."""
         from cone_tpu.utils.io import l2_normalize
 
         ap = np.asarray(feats, np.float32)
         if self.cfg.data.normalize_v:
             ap = l2_normalize(ap)
-        self.pipe.ds._vid_cache[clip_id] = (ap, ap)
+        if motion_feats is None:
+            mo = ap
+        else:
+            mo = np.asarray(motion_feats, np.float32)
+            assert len(mo) == len(ap), (clip_id, len(ap), len(mo))
+            if self.cfg.data.normalize_v:
+                mo = l2_normalize(mo)
+        self.pipe.ds._vid_cache[clip_id] = (ap, mo)
         self.pipe._dev_cache = getattr(self.pipe, "_dev_cache", {})
         self.pipe._dev_cache.pop(clip_id, None)
         self._stacked = None  # rebuild the stacked corpus lazily
@@ -278,7 +290,7 @@ class CorpusRetriever:
         """
         nq = len(token_feats_list)
         queries = queries or [""] * nq
-        k = search_windows or self.cfg.data.topk_window
+        k = self.cfg.data.topk_window if search_windows is None else search_windows
         kk = self.cfg.data.topk_window
         fc = self.fine_chunk
         clss = np.asarray(cls_feats, np.float32)
@@ -318,10 +330,15 @@ class CorpusRetriever:
             toks_np[qi, :n_tok] = tok[:n_tok]
             tmask_np[qi, :n_tok] = 1
 
+        # a (query, video) pair whose shortlist exceeds the fine program's
+        # window axis (kk lanes) dispatches as multiple rows, so the full
+        # `search_windows` budget is honored even when the coarse signal
+        # concentrates every window in one movie
         by_movie: Dict[str, List[tuple]] = {}
         for qi, ch in enumerate(chosen):
             for cid, wins in ch.items():
-                by_movie.setdefault(cid, []).append((qi, wins))
+                for s in range(0, len(wins), kk):
+                    by_movie.setdefault(cid, []).append((qi, wins[s : s + kk]))
         fine_pend = []
         for cid, lst in by_movie.items():
             appear_j, a_scale, motion_j, m_scale, ctx_l = (

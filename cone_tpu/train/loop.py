@@ -116,9 +116,11 @@ def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
             rec, thresholds, topk, title=name.capitalize()
         )
     # eval_modality selects which score variant drives early stopping
-    # (cone/config.py:123, inference.py:479-493)
+    # (cone/config.py:123, inference.py:479-493). "clip" is the value the
+    # reference's own dispatch actually checks for the matching modality
+    # (inference.py:489), so converted opt.json files carry it.
     modality = {"both": "fusion", "proposal": "proposal",
-                "matching": "matching"}[cfg.eval.eval_modality]
+                "matching": "matching", "clip": "matching"}[cfg.eval.eval_modality]
     primary = (
         f"recall_{modality}" if f"recall_{modality}" in out
         else f"recall_{list(subs)[0]}"

@@ -165,6 +165,52 @@ def test_dual_stream_corpus(cfg, ds):
     assert bucket[3] is not None  # M
 
 
+def test_search_windows_concentrated_in_one_video(cfg, ds):
+    """A corpus-wide budget larger than data.topk_window whose selected
+    windows ALL land in one video must dispatch multiple fine rows (the fine
+    program has only topk_window lanes) rather than crash or silently drop
+    the excess windows."""
+    model, params = build_model_and_params(cfg.model, seed=0)
+    r = CorpusRetriever(model, params, cfg)
+    rng = np.random.default_rng(7)
+    # single resident video, 17 windows (ctx 256, stride 16)
+    r.add_video("solo", rng.standard_normal((256, DIM)).astype(np.float32))
+    ex = ds.examples[0]
+    tok, cls = ds.query_features(ex.query_id)
+
+    seen_windows = set()
+    orig_fine = r.pipe._fine_fn
+
+    def spy(params, a, asc, m, msc, ctx, win_idx, *rest):
+        seen_windows.update(np.asarray(win_idx).reshape(-1).tolist())
+        return orig_fine(params, a, asc, m, msc, ctx, win_idx, *rest)
+
+    r.pipe._fine_fn = spy
+    out = r.search(tok, cls, search_windows=12, top_moments=10)
+    assert out and all(o["video_id"] == "solo" for o in out)
+    # budget honored: 12 > topk_window=5 distinct windows reached the fine
+    # stage (split across ceil(12/5) rows), not a clamped 5
+    assert len(seen_windows) >= 12, sorted(seen_windows)
+
+
+def test_add_video_dual_stream_motion(cfg, ds):
+    """add_video with an explicit motion stream keeps the two streams
+    distinct in the resident stack (appearance drives coarse, motion drives
+    the fine forward) instead of silently duplicating appearance."""
+    model, params = build_model_and_params(cfg.model, seed=0)
+    r = CorpusRetriever(model, params, cfg)
+    rng = np.random.default_rng(11)
+    ap = rng.standard_normal((96, DIM)).astype(np.float32)
+    mo = rng.standard_normal((96, DIM)).astype(np.float32)
+    r.add_video("dual", ap, motion_feats=mo)
+    bucket = next(iter(r._ensure_stacked().values()))
+    assert bucket[3] is not None  # M stack exists
+    ex = ds.examples[0]
+    tok, cls = ds.query_features(ex.query_id)
+    out = r.search(tok, cls)
+    assert out and all(o["video_id"] == "dual" for o in out)
+
+
 def test_mesh_sharded_library_matches_single(cfg, ds):
     """The library sharded over an 8-device mesh (each chip scans its own
     movies) returns the same rankings and moments as single-device."""
