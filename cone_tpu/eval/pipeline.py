@@ -31,7 +31,11 @@ import numpy as np
 from cone_tpu.config import ConeConfig
 from cone_tpu.data.dataset import GroundingDataset
 from cone_tpu.models.cone import ConeModel
-from cone_tpu.ops.nms import temporal_nms_device, temporal_nms_host
+from cone_tpu.ops.nms import (
+    dedup_spans_device,
+    temporal_nms_device,
+    temporal_nms_host,
+)
 from cone_tpu.ops.spans import span_cxw_to_xx
 from cone_tpu.ops.windows import num_windows, slice_windows, window_scores_from_frame_scores
 from cone_tpu.utils.io import min_max_normalize
@@ -165,6 +169,13 @@ class InferencePipeline:
                 return jnp.where(rng > 0, (x - lo) / jnp.where(rng == 0, 1, rng), x)
 
             fused_score = norm(pr) + norm(ma)
+            # the host path's dict dedup (cone/inference.py:214-216): one
+            # entry per (st, ed), first occurrence's slot (= dict insertion
+            # order, the sort tie-break), last occurrence's scores. The key
+            # set is shared by the three modalities, so one dedup rewrites
+            # all three score arrays in lockstep.
+            (fused_score, pr, ma), valid = dedup_spans_device(
+                sp, (fused_score, pr, ma), valid)
             # all three scoring modalities (fusion / proposal / matching),
             # NMS'd independently like the host path's three submissions
             # (cone/inference.py:322-331). Stacked on the NMS batch axis so
@@ -175,7 +186,8 @@ class InferencePipeline:
             valid3 = jnp.broadcast_to(valid, (3,) + valid.shape)
             k_sp, k_sc, k_va = temporal_nms_device(
                 sp3, scores3, valid3, nms_thd_f, max_after_f,
-                hull_union=self.nms_hull)
+                hull_union=self.nms_hull,
+                max_before_nms=cfg.eval.max_before_nms)
             out = (order, win_valid)
             for m in range(3):
                 out += (k_sp[m], k_sc[m], k_va[m])
@@ -221,11 +233,13 @@ class InferencePipeline:
         self._coarse_fn = coarse_fn
 
         nms_thd, max_after = cfg.eval.nms_thd, cfg.eval.max_after_nms
+        max_before = cfg.eval.max_before_nms
 
         @jax.jit
         def device_post_fn(spans_sec, prop, match, valid):
             """Batched on-device fusion + NMS (fast path): min-max normalize
-            both scores over each query's valid candidates, sum, suppress."""
+            both scores over each query's valid candidates, sum, dedup like
+            the host's dict build, truncate to max_before_nms, suppress."""
             big, small = 1e30, -1e30
 
             def norm(x):
@@ -235,8 +249,10 @@ class InferencePipeline:
                 return jnp.where(rng > 0, (x - lo) / jnp.where(rng == 0, 1, rng), x)
 
             fused = norm(prop) + norm(match)
-            return temporal_nms_device(spans_sec, fused, valid, nms_thd,
-                                       max_after, hull_union=self.nms_hull)
+            (fused,), dvalid = dedup_spans_device(spans_sec, (fused,), valid)
+            return temporal_nms_device(spans_sec, fused, dvalid, nms_thd,
+                                       max_after, hull_union=self.nms_hull,
+                                       max_before_nms=max_before)
 
         self._device_post_fn = device_post_fn
 
@@ -619,16 +635,28 @@ class InferencePipeline:
 
     def postprocess_device(self, rows):
         """Fast path: batched fusion + NMS on device (fusion modality only)."""
+        sort_results = not self.cfg.eval.no_sort_results
         spans, props, matches, valids, exs = [], [], [], [], []
         for row in rows:
-            sec = np.round(row["spans_sec"], 4)
-            k, nq = row["prob"].shape
-            spans.append(sec.reshape(k * nq, 2))
-            props.append(np.round(row["prob"].reshape(-1), 4))
-            matches.append(np.round(row["match"].reshape(-1), 4))
+            sec, prob, match = row["spans_sec"], row["prob"], row["match"]
+            cand_valid = row.get("cand_valid")
+            if sort_results:
+                # host candidate order: fg-prob descending within each window
+                # (cone/inference.py:81-82) — dedup slots and sort tie-breaks
+                # depend on it
+                ordp = np.argsort(-prob, axis=-1, kind="stable")
+                sec = np.take_along_axis(sec, ordp[..., None], axis=-2)
+                prob = np.take_along_axis(prob, ordp, axis=-1)
+                match = np.take_along_axis(match, ordp, axis=-1)
+                if cand_valid is not None:
+                    cand_valid = np.take_along_axis(cand_valid, ordp, axis=-1)
+            k, nq = prob.shape
+            spans.append(np.round(sec, 4).reshape(k * nq, 2))
+            props.append(np.round(prob.reshape(-1), 4))
+            matches.append(np.round(match.reshape(-1), 4))
             valid = np.repeat(row["win_valid"], nq)
-            if row.get("cand_valid") is not None:
-                valid = valid & row["cand_valid"].reshape(-1)
+            if cand_valid is not None:
+                valid = valid & cand_valid.reshape(-1)
             valids.append(valid)
             exs.append(row["example"])
         o_spans, o_scores, o_valid = jax.device_get(

@@ -72,6 +72,40 @@ def temporal_nms_host(predictions, nms_thd: float, max_after_nms: int = 100,
     return [preds[i] for i in kept]
 
 
+def dedup_spans_device(spans, scores_list, valid):
+    """Device equivalent of the reference's dict-based candidate dedup
+    (cone/inference.py:214-216): candidates sharing an identical (st, ed)
+    key collapse to ONE entry sitting at the FIRST occurrence's position
+    (a dict key keeps its insertion slot) but carrying the LAST
+    occurrence's scores (later assignments overwrite the value).
+
+    Args:
+        spans: (..., P, 2) candidate spans (already rounded like the host's
+            4-dp candidates so float equality IS the dict-key equality).
+        scores_list: sequence of (..., P) score arrays rewritten in lockstep.
+        valid: (..., P) bool.
+
+    Returns (new_scores_tuple, new_valid): non-first duplicates invalidated,
+    surviving entries' scores replaced by their key's last occurrence.
+    """
+    st, ed = spans[..., 0], spans[..., 1]
+    same = (
+        (st[..., :, None] == st[..., None, :])
+        & (ed[..., :, None] == ed[..., None, :])
+        & valid[..., :, None]
+        & valid[..., None, :]
+    )
+    p = spans.shape[-2]
+    idx = jnp.arange(p)
+    first = jnp.min(jnp.where(same, idx, p), axis=-1)
+    last = jnp.maximum(jnp.max(jnp.where(same, idx, -1), axis=-1), 0)
+    keep = valid & (first == idx)
+    new_scores = tuple(
+        jnp.take_along_axis(s, last, axis=-1) for s in scores_list
+    )
+    return new_scores, keep
+
+
 def temporal_nms_device(
     spans: jnp.ndarray,
     scores: jnp.ndarray,
@@ -79,6 +113,7 @@ def temporal_nms_device(
     nms_thd: float,
     max_after_nms: int,
     hull_union: bool = True,
+    max_before_nms: int | None = None,
 ):
     """Batched greedy NMS on device.
 
@@ -88,6 +123,12 @@ def temporal_nms_device(
         valid: (..., P) bool — candidate exists.
         nms_thd: static float; negative disables suppression (keep order).
         max_after_nms: static int K.
+        max_before_nms: static int; when set and suppression is on, only the
+            top-`max_before_nms` candidates by score enter NMS at all — the
+            rest neither survive nor suppress (the host path's
+            `moments[: cfg.max_before_nms]` truncation,
+            cone/inference.py:103-127; like the reference it does NOT apply
+            when nms_thd < 0).
 
     Returns:
         (kept_spans (..., K, 2), kept_scores (..., K), kept_valid (..., K))
@@ -101,6 +142,8 @@ def temporal_nms_device(
     s_valid = jnp.take_along_axis(valid, order, axis=-1)
 
     if nms_thd >= 0:
+        if max_before_nms is not None and max_before_nms < p:
+            s_valid = s_valid & (jnp.arange(p) < max_before_nms)
         st, ed = s_spans[..., 0], s_spans[..., 1]
 
         def body(i, keep):
