@@ -34,12 +34,16 @@ def _apply_overrides(cfg, sets):
 
 
 def _load_cfg(args):
-    from cone_tpu.config import ConeConfig, ego4d_config, mad_config
+    from cone_tpu.config import (
+        ConeConfig, ego4d_config, ego4d_scratch_config, mad_config,
+    )
 
     if args.config:
         cfg = ConeConfig.load(args.config)
     elif args.preset == "ego4d":
         cfg = ego4d_config()
+    elif args.preset == "ego4d_scratch":
+        cfg = ego4d_scratch_config()
     elif args.preset == "mad":
         cfg = mad_config()
     else:
@@ -69,6 +73,13 @@ def cmd_train(args):
     from cone_tpu.parallel.mesh import make_mesh
     from cone_tpu.train.loop import train
 
+    if args.distributed:
+        from cone_tpu.parallel.distributed import initialize
+
+        # TPU pods: no args (auto-detected topology). CPU clusters/tests:
+        # explicit coordinator + layout.
+        initialize(args.coordinator, args.num_processes, args.process_id)
+
     cfg = _load_cfg(args)
     if args.train_path:
         cfg = cfg.replace(data=dc.replace(cfg.data, train_path=args.train_path))
@@ -87,7 +98,8 @@ def cmd_train(args):
             _open_dataset(cfg, cfg.data.eval_path) if cfg.data.eval_path else None
         )
     mesh = make_mesh() if args.mesh else None
-    train(cfg, train_ds, eval_ds, args.workdir, mesh=mesh, profile=args.profile)
+    train(cfg, train_ds, eval_ds, args.workdir, mesh=mesh, profile=args.profile,
+          init_ckpt=args.init_ckpt)
 
 
 def cmd_infer(args):
@@ -99,7 +111,7 @@ def cmd_infer(args):
     cfg = _apply_overrides(cfg, args.set)
     model, template = build_family(cfg, seed=0)
     ckpt = CheckpointManager(args.workdir)
-    params, _, epoch = ckpt.restore(args.ckpt, template)
+    params, _, epoch, _ = ckpt.restore(args.ckpt, template)
     print(f"restored '{args.ckpt}' (epoch {epoch})")
 
     eval_ds = _open_dataset(cfg, args.eval_path or cfg.data.eval_path)
@@ -234,7 +246,11 @@ def main(argv=None):
 
     t = sub.add_parser("train", help="train a CONE model")
     t.add_argument("--config")
-    t.add_argument("--preset", choices=["ego4d", "mad"], default="ego4d")
+    t.add_argument("--preset", choices=["ego4d", "ego4d_scratch", "mad"],
+                   default="ego4d",
+                   help="ego4d_scratch = ego4d with nheads=4 (same params,"
+                        " 18%% faster fine forward; for from-scratch"
+                        " training — converted checkpoints need nheads=8)")
     t.add_argument("--set", action="append", metavar="SEC.FIELD=VAL")
     t.add_argument("--workdir", required=True)
     t.add_argument("--train_path")
@@ -244,6 +260,19 @@ def main(argv=None):
     t.add_argument("--mesh", action="store_true", help="DP over all devices")
     t.add_argument("--profile", action="store_true",
                    help="jax.profiler trace of the first epoch")
+    t.add_argument("--init_ckpt",
+                   help="weights-only warm start: load model params (not"
+                        " optimizer/epoch) from a checkpoint msgpack, e.g."
+                        " tools/convert_ckpt.py output, before training")
+    t.add_argument("--distributed", action="store_true",
+                   help="multi-host: start the jax.distributed runtime"
+                        " (combine with --mesh for the global DP mesh;"
+                        " workdir must be on a shared filesystem)")
+    t.add_argument("--coordinator",
+                   help="coordinator host:port (omit on TPU pods:"
+                        " auto-detected)")
+    t.add_argument("--num_processes", type=int)
+    t.add_argument("--process_id", type=int)
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="evaluate a checkpoint")

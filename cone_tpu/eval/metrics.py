@@ -106,13 +106,34 @@ def evaluate_recall_table(submission, ground_truth, thresholds, topK,
     return recall / max(len(submission), 1)
 
 
-def display_recall_table(results, thresholds, topK, title=None):
+def mean_first_iou(submission, ground_truth) -> float:
+    """mIoU of each query's FIRST prediction vs its GT span — the ego4d
+    evaluator's mIoU (standalone_eval/evaluate_ego4d_nlq.py:95-106 appends
+    overlap[0] per query), computed on flat-jsonl rows."""
+    truth = {d["query_id"]: d["timestamps"] for d in ground_truth}
+    vals = []
+    for row in submission:
+        if row["query_id"] not in truth:
+            continue
+        gt = np.asarray(truth[row["query_id"]], np.float64)[None, :2]
+        times = np.asarray(row["predicted_times"], np.float64)[:1, :2]
+        iou = hull_iou(times, gt)[:, 0]
+        vals.append(float(iou[0]) if len(iou) else 0.0)
+    return float(np.mean(vals)) if vals else 0.0
+
+
+def display_recall_table(results, thresholds, topK, title=None, mIoU=None):
+    """Recall table; with `mIoU` set, appends the reference's trailing mIoU
+    column (evaluate_ego4d_nlq.py display_results:21-38)."""
     header = [f"Rank@{k}\nmIoU@{t:.1f}" for k in topK for t in thresholds]
     row = [
         f"{100 * results[k][t]:.02f}"
         for k in range(len(topK))
         for t in range(len(thresholds))
     ]
+    if mIoU is not None:
+        header = header + ["mIoU"]
+        row = row + [f"{100 * mIoU:.02f}"]
     return ascii_table([header, row], title)
 
 

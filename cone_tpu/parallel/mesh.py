@@ -32,6 +32,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "dp") -> dict:
-    """Device-put every array in a host batch with its leading dim sharded."""
+    """Device-put every array in a host batch with its leading dim sharded.
+
+    Multi-process (DCN) meshes: every process holds the SAME full host batch
+    (seeded loaders are deterministic), and each contributes the contiguous
+    row block its addressable devices own — the standard
+    `make_array_from_process_local_data` data-parallel layout (mesh device
+    order is jax.devices(), which is process-major)."""
     sh = batch_sharding(mesh, axis)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    if jax.process_count() == 1 or mesh.devices.size <= len(jax.local_devices()):
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    pc, pi = jax.process_count(), jax.process_index()
+
+    def put(v):
+        v = np.asarray(v)
+        n = v.shape[0]
+        assert n % pc == 0, (
+            f"global batch dim {n} must divide by process count {pc}")
+        local = v[pi * (n // pc) : (pi + 1) * (n // pc)]
+        return jax.make_array_from_process_local_data(sh, local)
+
+    return {k: put(v) for k, v in batch.items()}

@@ -25,6 +25,7 @@ from cone_tpu.eval.metrics import (
     display_window_results,
     evaluate_recall_table,
     evaluate_window_ranklists,
+    mean_first_iou,
 )
 from cone_tpu.eval.pipeline import InferencePipeline
 from cone_tpu.models.init import build_model_and_params
@@ -89,11 +90,40 @@ def _make_pipeline(model, params, eval_ds, cfg, mesh):
 def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
              mesh=None, host_postproc: bool = True, fused: bool = False):
     """Run inference + metrics on a flat-jsonl-style GT (the dataset's own
-    examples). Returns dict with recall tables per modality + window recall."""
-    pipe = _make_pipeline(model, params, eval_ds, cfg, mesh)
+    examples). Returns dict with recall tables per modality + window recall.
+
+    Multi-host: videos shard by process over DCN (each host grounds its
+    shard on its LOCAL devices — zero cross-host traffic in the compute),
+    submission rows merge at the end, every process computes the full
+    metric table so early stopping stays consistent
+    (parallel/distributed.py)."""
+    ds_local, multi = eval_ds, jax.process_count() > 1
+    if multi:
+        import copy
+
+        from cone_tpu.parallel.distributed import local_mesh, shard_by_process
+
+        vids = sorted({e.clip_id for e in eval_ds.examples})
+        mine = set(shard_by_process(vids))
+        ds_local = copy.copy(eval_ds)
+        ds_local.examples = [e for e in eval_ds.examples if e.clip_id in mine]
+        mesh = local_mesh() if mesh is not None else None
+        # training params live on the global mesh; pull to host so the
+        # local-mesh pipeline programs can consume them
+        params = jax.device_get(params)
+    pipe = _make_pipeline(model, params, ds_local, cfg, mesh)
     subs, ranklists = pipe.run(
         host_postproc=host_postproc and not fused, fused=fused
     )
+    if multi:
+        from cone_tpu.parallel.distributed import all_gather_rows
+
+        subs = {name: all_gather_rows(rows) for name, rows in subs.items()}
+        ranklists = dict(
+            (qid, rank) for row in all_gather_rows(
+                [{"qid": q, "rank": r} for q, r in ranklists.items()])
+            for qid, rank in [(row["qid"], row["rank"])]
+        )
     gt = [dict(query_id=e.query_id, timestamps=e.timestamps) for e in eval_ds.examples]
     if cfg.data.dset_name == "mad":
         thresholds, topk = [0.1, 0.3, 0.5], [1, 5, 10, 50, 100]
@@ -109,11 +139,17 @@ def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
     out["tables"]["window"] = display_window_results(
         out["window_recall"], window_topk, title="Window Pre-filtering"
     )
+    # ego4d evals also report mIoU of the first prediction alongside recall
+    # (cone/inference.py:440-444 via evaluate_ego4d_nlq.py:95-117)
+    with_miou = cfg.data.dset_name != "mad"
     for name in subs:
         rec = evaluate_recall_table(subs[name], gt, thresholds, topk)
         out[f"recall_{name}"] = rec
+        miou = mean_first_iou(subs[name], gt) if with_miou else None
+        if miou is not None:
+            out[f"miou_{name}"] = miou
         out["tables"][name] = display_recall_table(
-            rec, thresholds, topk, title=name.capitalize()
+            rec, thresholds, topk, title=name.capitalize(), mIoU=miou
         )
     # eval_modality selects which score variant drives early stopping
     # (cone/config.py:123, inference.py:479-493). "clip" is the value the
@@ -157,14 +193,37 @@ def train(
     workdir: str,
     mesh=None,
     profile: bool = False,
+    init_ckpt: Optional[str] = None,
 ):
-    """Train a CONE model; returns (params, history)."""
+    """Train a CONE model; returns (params, history).
+
+    init_ckpt: weights-only warm start — load model params (NOT optimizer or
+    epoch) from any CheckpointManager file or tools/convert_ckpt.py output
+    before training, the reference's --resume-without---resume_all path for
+    fine-tuning from a released/converted checkpoint (cone/config.py:63-66,
+    inference.py:525-533). Ignored when the workdir already holds a `latest`
+    checkpoint (an interrupted run resumes itself in full).
+
+    Multi-host: pass the GLOBAL mesh (parallel/distributed.global_mesh after
+    distributed.initialize). Every process builds identical batches and
+    contributes its local rows (parallel/mesh.shard_batch); XLA's gradient
+    all-reduce rides ICI within a slice and DCN across. Process 0 owns the
+    checkpoint/log writes; evals shard videos by process and re-merge, so
+    the stop score (and early stopping) is identical everywhere."""
+    multi = jax.process_count() > 1
+    is_main = jax.process_index() == 0
     os.makedirs(workdir, exist_ok=True)
-    ckpt = CheckpointManager(workdir, cfg)
-    logger = MetricLogger(workdir)
-    _snapshot_code_version(workdir)
+    ckpt = CheckpointManager(workdir, cfg if is_main else None)
+    logger = MetricLogger(workdir) if is_main else None
+    if is_main:
+        _snapshot_code_version(workdir)
 
     model, params = build_family(cfg, seed=cfg.train.seed)
+    if init_ckpt and not ckpt.exists("latest"):
+        from cone_tpu.train.checkpoint import load_params
+
+        params = load_params(init_ckpt, params)
+        print(f"warm start: params from {init_ckpt}")
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model: {cfg.model.model_family}, {n_params:,} parameters")
     loader = TrainLoader(train_ds, bsz=cfg.train.bsz, seed=cfg.train.seed)
@@ -188,13 +247,45 @@ def train(
         step_fn = make_train_step(model, tx, cfg, mesh=mesh)
 
     start_epoch = 0
+    best_score, es_cnt = 0.0, 0
+    if multi:
+        from cone_tpu.parallel.distributed import assert_same_across_processes
+
+        assert mesh is not None, "multi-process training requires the global mesh"
+        assert_same_across_processes(
+            float(ckpt.exists("latest")),
+            "resume state (multi-host training needs a shared workdir)")
     if ckpt.exists("latest"):
-        params, opt_state, start_epoch = ckpt.restore("latest", params, opt_state)
+        params, opt_state, start_epoch, extra = ckpt.restore(
+            "latest", params, opt_state)
         start_epoch += 1
+        # exact resume: early-stop counters + plateau scheduler state come
+        # back too (the reference saves lr_scheduler.state_dict(),
+        # cone/train.py:184-191)
+        best_score = extra.get("best_score", 0.0)
+        es_cnt = int(extra.get("es_cnt", 0))
+        if plateau is not None:
+            plateau.best = extra.get("plateau_best", plateau.best)
+            plateau.num_bad = int(extra.get("plateau_num_bad", 0))
         print(f"resumed from epoch {start_epoch}")
 
+    if multi:
+        # params/optimizer live as fully-replicated GLOBAL arrays so the
+        # pjit'd step can consume and donate them across hosts
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        params = jax.device_put(jax.device_get(params), rep)
+        opt_state = jax.device_put(jax.device_get(opt_state), rep)
+
+    def _extra():
+        out = {"best_score": best_score, "es_cnt": es_cnt}
+        if plateau is not None:
+            out["plateau_best"] = plateau.best
+            out["plateau_num_bad"] = plateau.num_bad
+        return out
+
     rng = jax.random.PRNGKey(cfg.train.seed)
-    best_score, es_cnt = 0.0, 0
     history = []
 
     for epoch in range(start_epoch, cfg.train.n_epoch):
@@ -232,7 +323,8 @@ def train(
             **{k: m.avg for k, m in loss_meters.items()},
             **{k: m.avg for k, m in meters.items()},
         }
-        logger.log_train_epoch(epoch_log)
+        if is_main:
+            logger.log_train_epoch(epoch_log)
         history.append(epoch_log)
 
         do_eval = (
@@ -241,35 +333,43 @@ def train(
         )
         if do_eval:
             res = evaluate(model, params, eval_ds, cfg, mesh=mesh)
-            for t in res["tables"].values():
-                logger.log_text(t)
             score = res["stop_score"]
+            if multi:
+                # the stop score drives early stopping on every process —
+                # divergence would deadlock the collectives
+                assert_same_across_processes(score, "stop score")
             lr_now = None
             if plateau is not None:
                 opt_state, lr_now = plateau.step(score, opt_state)
                 epoch_log["lr"] = lr_now
-            logger.log_eval(epoch + 1, score, lr=lr_now)
-            save_jsonl(
-                res["submissions"]["fusion"],
-                os.path.join(workdir, "latest_preds.jsonl"),
-            )
-            if score > best_score:
-                best_score, es_cnt = score, 0
-                ckpt.save("best", params, opt_state, epoch)
+            if is_main:
+                for t in res["tables"].values():
+                    logger.log_text(t)
+                logger.log_eval(epoch + 1, score, lr=lr_now)
                 save_jsonl(
                     res["submissions"]["fusion"],
-                    os.path.join(workdir, "best_preds.jsonl"),
+                    os.path.join(workdir, "latest_preds.jsonl"),
                 )
+            if score > best_score:
+                best_score, es_cnt = score, 0
+                if is_main:
+                    ckpt.save("best", params, opt_state, epoch, extra=_extra())
+                    save_jsonl(
+                        res["submissions"]["fusion"],
+                        os.path.join(workdir, "best_preds.jsonl"),
+                    )
             else:
                 es_cnt += 1
                 if cfg.train.max_es_cnt != -1 and es_cnt > cfg.train.max_es_cnt:
-                    logger.log_text(f"Early stop at epoch {epoch}")
+                    if is_main:
+                        logger.log_text(f"Early stop at epoch {epoch}")
                     break
-            ckpt.save("latest", params, opt_state, epoch)
+            if is_main:
+                ckpt.save("latest", params, opt_state, epoch, extra=_extra())
 
-        if (epoch + 1) % cfg.train.save_interval == 0 or (
+        if is_main and ((epoch + 1) % cfg.train.save_interval == 0 or (
             (epoch + 1) % cfg.train.lr_drop == 0
-        ):
-            ckpt.save(f"e{epoch:04d}", params, opt_state, epoch)
+        )):
+            ckpt.save(f"e{epoch:04d}", params, opt_state, epoch, extra=_extra())
 
     return params, history

@@ -101,11 +101,17 @@ class ReduceLROnPlateau:
         else:
             self.num_bad += 1
         hp = _find_hyperparams(opt_state)
-        lr = float(hp["learning_rate"])
+        lr = float(jax.device_get(hp["learning_rate"]))
         if self.num_bad > self.patience:
+            import numpy as np
+
             lr = max(lr * self.factor, self.min_lr)
-            hp["learning_rate"] = jnp.asarray(
-                lr, dtype=jnp.asarray(hp["learning_rate"]).dtype
+            # host numpy (not a committed device array): multi-process pjit
+            # accepts numpy inputs as process-identical and replicates them,
+            # while a device-0-committed scalar would clash with the global
+            # mesh sharding
+            hp["learning_rate"] = np.asarray(
+                lr, dtype=np.asarray(jax.device_get(hp["learning_rate"])).dtype
             )
             self.num_bad = 0
         return opt_state, lr

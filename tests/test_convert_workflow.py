@@ -48,7 +48,7 @@ def test_convert_ckpt_to_workdir_and_restore(tmp_path):
 
     cfg2 = CheckpointManager.load_config(workdir)
     model, template = build_model_and_params(cfg2.model, seed=0)
-    params, _, epoch = CheckpointManager(workdir).restore("converted", template)
+    params, _, epoch, _ = CheckpointManager(workdir).restore("converted", template)
     assert epoch == 42
 
     out = model.apply(

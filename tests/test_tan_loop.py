@@ -52,6 +52,52 @@ def test_tan_family_train_loop(cfg, tmp_path):
     assert cfg2.tan.num_scale_layers == (8, 4)
 
 
+def test_plateau_and_early_stop_state_survive_resume(cfg, tmp_path, monkeypatch):
+    """A resumed TAN run continues its plateau/early-stop counters instead
+    of re-arming fresh patience windows (the reference checkpoints
+    lr_scheduler.state_dict(), cone/train.py:184-191). Eval scores are
+    stubbed to a deterministic decreasing sequence."""
+    import dataclasses
+
+    import cone_tpu.train.loop as loop_mod
+    from cone_tpu.train.checkpoint import CheckpointManager
+    from cone_tpu.train.loop import build_family
+
+    scores = iter([0.5, 0.4, 0.3, 0.2])
+
+    def fake_eval(model, params, eval_ds, cfg_, mesh=None, **kw):
+        return {"tables": {}, "submissions": {"fusion": []},
+                "ranklists": {}, "stop_score": next(scores)}
+
+    monkeypatch.setattr(loop_mod, "evaluate", fake_eval)
+    ds = make_synthetic_dataset(cfg.data, n_videos=2, queries_per_video=2,
+                                ctx_l_range=(90, 120), dim=DIM, signal=3.0,
+                                seed=3)
+    cfg2 = cfg.replace(train=dataclasses.replace(
+        cfg.train, n_epoch=2, eval_epoch_interval=1, plateau_patience=10))
+    workdir = str(tmp_path / "resume")
+    train(cfg2, ds, ds, workdir)
+
+    model, template = build_family(cfg2, seed=cfg2.train.seed)
+    ckpt = CheckpointManager(workdir)
+    _, _, epoch, extra = ckpt.restore("latest", template)
+    assert epoch == 1
+    assert extra["best_score"] == pytest.approx(0.5)
+    assert extra["es_cnt"] == 1
+    assert extra["plateau_best"] == pytest.approx(0.5)
+    assert extra["plateau_num_bad"] == 1
+
+    # resume two more epochs: counters continue from 1 (a reset would see
+    # best_score=0, treat 0.3 as an improvement and land at es_cnt=1)
+    cfg3 = cfg2.replace(train=dataclasses.replace(cfg2.train, n_epoch=4))
+    train(cfg3, ds, ds, workdir)
+    _, _, epoch, extra = ckpt.restore("latest", template)
+    assert epoch == 3
+    assert extra["best_score"] == pytest.approx(0.5)
+    assert extra["es_cnt"] == 3
+    assert extra["plateau_num_bad"] == 3
+
+
 def test_tan_optimizer_plateau_reduces_lr():
     """TAN family uses Adam + ReduceLROnPlateau (cone_2dtan train.py:143-147,
     factor 0.8 / patience 20): the injected lr drops by `factor` after

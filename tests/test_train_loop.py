@@ -85,7 +85,7 @@ def test_checkpoint_roundtrip(trained, cfg):
     workdir, params, _ = trained
     model, template = build_model_and_params(cfg.model, seed=0)
     ckpt = CheckpointManager(workdir)
-    restored, _, epoch = ckpt.restore("latest", template)
+    restored, _, epoch, _ = ckpt.restore("latest", template)
     import jax
 
     leaves1 = jax.tree.leaves(params)
@@ -97,6 +97,80 @@ def test_checkpoint_roundtrip(trained, cfg):
     # config snapshot round-trips
     cfg2 = CheckpointManager.load_config(workdir)
     assert cfg2.model.hidden_dim == cfg.model.hidden_dim
+
+
+def test_warm_start_init_ckpt(trained, cfg, ds, tmp_path_factory):
+    """Weights-only warm start (cli train --init_ckpt): a fresh run seeded
+    with a trained checkpoint's params starts where that run left off —
+    first-epoch loss far below a cold first epoch — while epochs/optimizer
+    restart from scratch (the reference's --resume without --resume_all,
+    cone/config.py:63-66)."""
+    import dataclasses
+
+    workdir0, _, history0 = trained
+    cfg2 = cfg.replace(train=dataclasses.replace(
+        cfg.train, n_epoch=1, eval_epoch_interval=100))
+    wd = str(tmp_path_factory.mktemp("warm"))
+    params, history = train(
+        cfg2, ds, ds, wd,
+        init_ckpt=os.path.join(workdir0, "model_best.msgpack"))
+    assert len(history) == 1  # epoch counter NOT restored
+    assert history[0]["loss_overall"] < history0[0]["loss_overall"]
+
+
+def test_load_params_raw_msgpack(cfg, tmp_path):
+    """load_params accepts tools/convert_ckpt.py --out files (bare
+    {"params": ...} msgpack, no optimizer/epoch wrapper)."""
+    from flax.serialization import msgpack_serialize
+
+    from cone_tpu.train.checkpoint import load_params
+
+    import jax
+
+    model, params = build_model_and_params(cfg.model, seed=3)
+    path = str(tmp_path / "converted.msgpack")
+    with open(path, "wb") as f:
+        f.write(msgpack_serialize({"params": jax.device_get(params)}))
+    model2, template = build_model_and_params(cfg.model, seed=99)
+    loaded = load_params(path, template)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_extra_state_roundtrip(trained, cfg):
+    """Early-stop counters persist in the checkpoint (reference saves
+    scheduler state, cone/train.py:184-191) and old files without them
+    still load."""
+    workdir, _, _ = trained
+    model, template = build_model_and_params(cfg.model, seed=0)
+    ckpt = CheckpointManager(workdir)
+    _, _, _, extra = ckpt.restore("latest", template)
+    assert "best_score" in extra and "es_cnt" in extra
+    assert extra["best_score"] > 0
+    # pre-upgrade file (no extra): loads with empty extra
+    p = ckpt.save("noextra", template)
+    _, _, _, extra2 = ckpt.restore("noextra", template)
+    assert extra2 == {}
+
+
+def test_eval_reports_miou(trained, cfg, ds):
+    """Training-loop evals report mean first-prediction IoU alongside recall
+    for ego4d-style datasets (cone/inference.py:440-444,
+    evaluate_ego4d_nlq.py:95-117)."""
+    workdir, params, _ = trained
+    model, _ = build_model_and_params(cfg.model, seed=0)
+    res = evaluate(model, params, ds, cfg)
+    for name in ("fusion", "proposal", "matching"):
+        assert 0.0 <= res[f"miou_{name}"] <= 1.0
+        assert "mIoU" in res["tables"][name]
+    # perfect predictions give mIoU 1.0
+    from cone_tpu.eval.metrics import mean_first_iou
+
+    gt = [dict(query_id=e.query_id, timestamps=e.timestamps) for e in ds.examples]
+    subs = [dict(query_id=e.query_id,
+                 predicted_times=[list(e.timestamps) + [1.0]])
+            for e in ds.examples]
+    assert mean_first_iou(subs, gt) == pytest.approx(1.0)
 
 
 def test_bf16_training_losses_fall(cfg, ds, tmp_path_factory):
