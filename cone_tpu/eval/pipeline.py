@@ -392,9 +392,18 @@ class InferencePipeline:
         Returns ({"fusion": [...], "proposal": [...], "matching": [...]},
         ranklists) — all three scoring modalities like the host path
         (cone/inference.py:322-331).
+
+        Host input staging (query packing + H2D upload) for group n+1 runs
+        on a background thread while group n executes — the counterpart of
+        the reference's pinned-memory non_blocking transfers
+        (cone/config.py:43-45); previously the per-group staging was the
+        serial cost that kept MAD wall-clock above its device time
+        (docs/RESULTS.md).
         """
+        from cone_tpu.data.prefetch import prefetch_iterator
+
         pending = []
-        for group, inputs in self._fused_groups():
+        for group, inputs in prefetch_iterator(self._fused_groups(), depth=2):
             fut = self._fused_batch_fn(self.params, *inputs)
             pending.append((group, fut))
 
@@ -524,27 +533,38 @@ class InferencePipeline:
         return ranklists
 
     def fine(self, ranklists: Dict[str, List[int]]):
-        """Raw per-query candidates from the top-K windows."""
+        """Raw per-query candidates from the top-K windows. Host staging of
+        chunk n+1 overlaps chunk n's execution (background thread), like
+        run_fused."""
         cfg = self.cfg
         qc, k = cfg.eval.query_chunk, cfg.data.topk_window
+
+        def staged():
+            for clip_id, exs in self._queries_by_video().items():
+                appear_j, a_scale, motion_j, m_scale, ctx_l = (
+                    self._device_video(clip_id))
+                for i in range(0, len(exs), qc):
+                    chunk = exs[i : i + qc]
+                    win_idx = np.zeros((qc, k), np.int32)
+                    win_valid = np.zeros((qc, k), bool)
+                    toks, tmask, clss = self._chunk_queries(chunk)
+                    for j, ex in enumerate(chunk):
+                        rank = ranklists[ex.query_id][:k]
+                        win_idx[j, : len(rank)] = rank
+                        win_valid[j, : len(rank)] = True
+                    yield chunk, win_valid, (
+                        appear_j, a_scale, motion_j, m_scale,
+                        jnp.asarray(ctx_l), jnp.asarray(win_idx),
+                        jnp.asarray(toks), jnp.asarray(tmask),
+                        jnp.asarray(clss),
+                    )
+
+        from cone_tpu.data.prefetch import prefetch_iterator
+
         pending = []
-        for clip_id, exs in self._queries_by_video().items():
-            appear_j, a_scale, motion_j, m_scale, ctx_l = self._device_video(clip_id)
-            for i in range(0, len(exs), qc):
-                chunk = exs[i : i + qc]
-                win_idx = np.zeros((qc, k), np.int32)
-                win_valid = np.zeros((qc, k), bool)
-                toks, tmask, clss = self._chunk_queries(chunk)
-                for j, ex in enumerate(chunk):
-                    rank = ranklists[ex.query_id][:k]
-                    win_idx[j, : len(rank)] = rank
-                    win_valid[j, : len(rank)] = True
-                fut = self._fine_fn(
-                    self.params, appear_j, a_scale, motion_j, m_scale,
-                    jnp.asarray(ctx_l), jnp.asarray(win_idx),
-                    jnp.asarray(toks), jnp.asarray(tmask), jnp.asarray(clss),
-                )
-                pending.append((chunk, win_valid, fut))
+        for chunk, win_valid, inputs in prefetch_iterator(staged(), depth=2):
+            fut = self._fine_fn(self.params, *inputs)
+            pending.append((chunk, win_valid, fut))
         # resolve after dispatching everything (overlap host prep & device);
         # one batched device_get so the tunnel round trips pipeline
         out_rows = []

@@ -4,8 +4,17 @@ Counterpart of run_on_video/run.py CONEPredictor: extract clip features
 (cached to disk like the reference's .pt cache, run.py:30-38), extract text
 features, localize with the batched pipeline.
 
-Feature extraction runs host-side (torch/ffmpeg; weights must be available
-locally — this box has no network). The localization path is pure cone_tpu.
+Two extraction backends:
+
+  * "clip" — HF CLIP towers, host torch (ffmpeg decode; weights must be
+    available locally — this box has no network).
+  * "egovlp" — the reference demo's actual backbone
+    (run_on_video/run.py:10-40, egovlp_extrator.py:99-150): video runs on
+    the accelerator through the parity-tested flax EgoVlpVideoTower
+    (models/egovlp.py); text is DistilBERT tokens + the checkpoint's
+    txt_proj CLS (host torch, like the reference's text tower).
+
+The localization path is pure cone_tpu either way.
 """
 
 from __future__ import annotations
@@ -23,29 +32,112 @@ from cone_tpu.utils.io import l2_normalize
 
 class MomentPredictor:
     def __init__(self, model, params, cfg: ConeConfig,
+                 backend: str = "clip",
                  clip_model_name: str = "openai/clip-vit-base-patch32",
                  fps: Optional[float] = None,
-                 cache_dir: str = "feature_cache"):
+                 cache_dir: str = "feature_cache",
+                 egovlp_checkpoint: Optional[str] = None,
+                 egovlp_cfg=None,
+                 egovlp_params=None,
+                 text_model_name: str = "distilbert-base-uncased",
+                 frames_per_clip: int = 4):
+        """backend="egovlp" extras: `egovlp_checkpoint` (released .pth —
+        both towers' weights come from it) OR a ready `egovlp_params` tree
+        with its `egovlp_cfg` (tests / pre-converted checkpoints). `fps` is
+        the CLIP frame rate or the EgoVLP *clip* rate; EgoVLP decodes
+        frames_per_clip frames per clip window like the reference
+        (egovlp_extrator.py:120-135)."""
+        assert backend in ("clip", "egovlp"), backend
         self.cfg = cfg
+        self.backend = backend
         self.localizer = OnlineLocalizer(model, params, cfg)
         self.clip_model_name = clip_model_name
         self.fps = fps if fps is not None else 1.0 / cfg.data.clip_length
         self.cache_dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
         self._text_backend = None
+        self.frames_per_clip = frames_per_clip
+        self.text_model_name = text_model_name
+        self.egovlp_checkpoint = egovlp_checkpoint
+        if egovlp_cfg is None and backend == "egovlp":
+            from cone_tpu.models.egovlp import EgoVlpConfig
+
+            egovlp_cfg = EgoVlpConfig()
+        self.egovlp_cfg = egovlp_cfg
+        self._egovlp = (egovlp_params, None) if egovlp_params is not None else None
 
     # ---- feature extraction (host, torch) ------------------------------
 
     def _video_cache_path(self, video_path: str) -> str:
+        tag = (self.clip_model_name if self.backend == "clip"
+               else f"egovlp:{self.egovlp_checkpoint}")
         key = hashlib.sha1(
-            f"{os.path.abspath(video_path)}:{self.clip_model_name}:{self.fps}".encode()
+            f"{os.path.abspath(video_path)}:{tag}:{self.fps}".encode()
         ).hexdigest()[:16]
         return os.path.join(self.cache_dir, f"vid_{key}.npy")
+
+    def _egovlp_tower(self):
+        """(params, jitted forward) for the flax video tower, built once."""
+        import jax
+
+        from cone_tpu.models.egovlp import EgoVlpVideoTower
+
+        if self._egovlp is None:
+            from cone_tpu.extract.egovlp_video import load_egovlp_params
+
+            assert self.egovlp_checkpoint, (
+                "backend='egovlp' needs egovlp_checkpoint or egovlp_params")
+            self._egovlp = (
+                load_egovlp_params(self.egovlp_checkpoint, self.egovlp_cfg),
+                None,
+            )
+        params, fwd = self._egovlp
+        if fwd is None:
+            model = EgoVlpVideoTower(self.egovlp_cfg)
+            fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+            self._egovlp = (params, fwd)
+        return self._egovlp
+
+    def _egovlp_video_features(self, video_path: str) -> np.ndarray:
+        """Decode frames_per_clip frames per clip window at the configured
+        clip rate, batch them through the flax SpaceTimeTransformer on the
+        accelerator (the reference's batch-4 compute_video loop,
+        egovlp_extrator.py:120-135, vectorized)."""
+        import jax.numpy as jnp
+
+        from cone_tpu.extract.egovlp_video import IMAGENET_MEAN, IMAGENET_STD
+        from cone_tpu.extract.video import decode_frames
+
+        e = self.egovlp_cfg
+        frame_fps = self.fps * self.frames_per_clip
+        frames = decode_frames(video_path, frame_fps, size=e.img_size)
+        t = len(frames) // self.frames_per_clip * self.frames_per_clip
+        clips = frames[:t].reshape(-1, self.frames_per_clip, e.img_size,
+                                   e.img_size, 3)
+        clips = (clips.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        params, fwd = self._egovlp_tower()
+        batch = 8
+        feats = []
+        for i in range(0, len(clips), batch):
+            chunk = clips[i : i + batch]
+            if len(chunk) < batch:  # static shapes for jit
+                pad = np.zeros((batch - len(chunk),) + chunk.shape[1:],
+                               np.float32)
+                out = np.asarray(
+                    fwd(params, jnp.asarray(np.concatenate([chunk, pad]))))
+                feats.append(out[: len(chunk)])
+            else:
+                feats.append(np.asarray(fwd(params, jnp.asarray(chunk))))
+        return np.concatenate(feats).astype(np.float32)
 
     def video_features(self, video_path: str) -> np.ndarray:
         cache = self._video_cache_path(video_path)
         if os.path.exists(cache):
             return np.load(cache)
+        if self.backend == "egovlp":
+            out = self._egovlp_video_features(video_path)
+            np.save(cache, out)
+            return out
         from cone_tpu.extract.video import decode_frames
 
         import torch
@@ -67,6 +159,8 @@ class MomentPredictor:
         return out
 
     def text_features(self, query: str):
+        if self.backend == "egovlp":
+            return self._egovlp_text_features(query)
         import torch
         from transformers import (CLIPTextModelWithProjection,
                                   CLIPTokenizerFast)
@@ -88,6 +182,33 @@ class MomentPredictor:
         n = int(enc["attention_mask"].sum())
         tokens = hidden[0, 1 : n - 1].numpy()
         cls = out.text_embeds[0].numpy()
+        return tokens, cls
+
+    def _egovlp_text_features(self, query: str):
+        """DistilBERT token features (CLS/SEP stripped) + the checkpoint's
+        txt_proj applied to the CLS hidden state — the reference demo's
+        encode_text (egovlp_extrator.py:139-150)."""
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        if self._text_backend is None:
+            tokenizer = AutoTokenizer.from_pretrained(self.text_model_name)
+            model = AutoModel.from_pretrained(self.text_model_name).eval()
+            state = torch.load(self.egovlp_checkpoint, map_location="cpu",
+                               weights_only=False)
+            sd = state.get("state_dict", state)
+            proj_w = next(v for k, v in sd.items()
+                          if "txt_proj" in k and k.endswith("weight"))
+            proj_b = next(v for k, v in sd.items()
+                          if "txt_proj" in k and k.endswith("bias"))
+            self._text_backend = (tokenizer, model, proj_w, proj_b)
+        tokenizer, model, proj_w, proj_b = self._text_backend
+        with torch.no_grad():
+            enc = tokenizer([query], truncation=True, return_tensors="pt")
+            hidden = model(**enc).last_hidden_state
+        n = int(enc["attention_mask"].sum())
+        tokens = hidden[0, 1 : n - 1].numpy()
+        cls = (hidden[0, 0] @ proj_w.T + proj_b).numpy()
         return tokens, cls
 
     # ---- end to end -----------------------------------------------------

@@ -126,3 +126,52 @@ def test_multiscale_loader_trains(cfg):
     )
     assert np.isfinite(float(metrics["loss_overall"]))
     assert "loss_adapter" in metrics
+
+
+def test_egovlp_predictor_end_to_end(cfg, tmp_path, monkeypatch):
+    """backend="egovlp": video-file -> ranked moments through the flax
+    EgoVlpVideoTower on the device (the reference demo's actual backbone,
+    run_on_video/run.py:10-70). ffmpeg decode and the DistilBERT text tower
+    are stubbed (no media fixture / no network); the video tower is the real
+    parity-tested flax module, and the feature cache round-trips."""
+    import jax.numpy as jnp
+
+    from cone_tpu.models.egovlp import EgoVlpConfig, EgoVlpVideoTower
+    from cone_tpu.serve.predictor import MomentPredictor
+
+    ecfg = EgoVlpConfig(img_size=16, patch_size=8, embed_dim=32, depth=1,
+                        num_heads=2, num_frames=2, projection_dim=DIM)
+    tower = EgoVlpVideoTower(ecfg)
+    eparams = tower.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 2, 16, 16, 3)))["params"]
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    pred = MomentPredictor(model, params, cfg, backend="egovlp",
+                           egovlp_cfg=ecfg, egovlp_params=eparams,
+                           cache_dir=str(tmp_path), frames_per_clip=2)
+
+    rng_l = np.random.default_rng(0)
+    frames = rng_l.integers(0, 255, size=(80, 16, 16, 3), dtype=np.uint8)
+    seen_fps = []
+
+    def fake_decode(path, fps, size=224):
+        seen_fps.append((fps, size))
+        return frames
+
+    monkeypatch.setattr("cone_tpu.extract.video.decode_frames", fake_decode)
+    tok = rng_l.normal(size=(6, DIM)).astype(np.float32)
+    cls_v = rng_l.normal(size=(DIM,)).astype(np.float32)
+    monkeypatch.setattr(MomentPredictor, "_egovlp_text_features",
+                        lambda self, q: (tok, cls_v))
+
+    out = pred.localize_moment(str(tmp_path / "vid.mp4"), "where is the cup")
+    assert 1 <= len(out) <= cfg.eval.max_after_nms
+    for st, ed, p, m, f in out:
+        assert st <= ed + 1e-6
+    # frame rate = clip rate x frames_per_clip at the tower's resolution
+    # (egovlp_extrator.py:120-135)
+    assert seen_fps == [(2.0, 16)]
+    # 80 frames -> 40 clips of projection_dim features, cached to disk
+    cached = pred.video_features(str(tmp_path / "vid.mp4"))
+    assert cached.shape == (40, DIM)
+    assert seen_fps == [(2.0, 16)]  # second call hit the cache
