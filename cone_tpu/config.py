@@ -160,6 +160,13 @@ class EvalConfig:
     # fast (tools/bench_coarse.py), so this defaults off; the kernel exists
     # for topologies where the (Q, L) intermediate becomes the bottleneck.
     use_pallas_coarse: bool = False
+    # training-loop evals through the fused device path instead of the
+    # reference-exact host postproc. Device dedup + max_before_nms now make
+    # the two bit-identical (tests/test_nms_device_parity.py incl. the
+    # 300-candidate TAN-MAD geometry), so this is safe for the stop score;
+    # it is the knob that keeps MAD-scale eval epochs off the host Python.
+    # Defaults off: host postproc stays the reference-parity baseline.
+    fused_train_eval: bool = False
     # dtype of the HBM-resident video-feature corpus: "float32" (exact),
     # "bfloat16" (2x residency) or "int8" (4x residency, symmetric per-frame
     # scales). Decoding back to fp32 happens inside the compiled program, so

@@ -69,35 +69,72 @@ def global_mesh(axis: str = "dp"):
     return Mesh(np.array(jax.devices()), (axis,))
 
 
+_barrier_seq = [0]
+
+
+def barrier(tag: str = "sync", timeout_s: int = 900) -> None:
+    """Align all processes via the coordination service (no Gloo).
+
+    XLA's CPU Gloo collectives create their communicator context lazily at
+    the FIRST cross-host collective, with a hard ~30 s window for the
+    key-value rendezvous — but ranks can arrive minutes apart (each
+    compiles programs for its own eval shard's video shapes). This barrier
+    rides the coordination service instead (generous timeout, no
+    communicator), so call it immediately before any collective region and
+    the Gloo window only has to cover RPC latency. Every process must call
+    it the same number of times in the same order (the sequence number is
+    part of the barrier id)."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:  # not under jax.distributed (e.g. TPU auto-init path)
+        return
+    _barrier_seq[0] += 1
+    client.wait_at_barrier(
+        f"cone_tpu:{tag}:{_barrier_seq[0]}", timeout_in_ms=timeout_s * 1000)
+
+
 def shard_by_process(items: Sequence) -> List:
     """This process's strided shard of a global work list (videos, queries).
     Strided (not contiguous) so sorted-by-length corpora balance."""
     return list(items[jax.process_index()::jax.process_count()])
 
 
+def _kv_allgather(payload: bytes, tag: str, timeout_s: int = 900) -> List[bytes]:
+    """All-gather small byte payloads across processes over the
+    COORDINATION-SERVICE key-value store — NOT a device collective.
+
+    Submission rows and control scalars are ~100 B metadata; routing them
+    through Gloo device collectives would interleave extra cross-process
+    communicator rendezvous with the training step's all-reduce clique
+    (observed to race its ~30 s KV window and kill ranks). The control
+    plane is the right transport: no communicators, generous timeouts,
+    deterministic. Every process must call this in the same order (the
+    sequence number namespaces the keys)."""
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    assert client is not None, "jax.distributed is not initialized"
+    _barrier_seq[0] += 1
+    key = f"cone_tpu:ag:{tag}:{_barrier_seq[0]}"
+    client.key_value_set_bytes(f"{key}:{jax.process_index()}", payload)
+    return [
+        client.blocking_key_value_get_bytes(f"{key}:{p}", timeout_s * 1000)
+        for p in range(jax.process_count())
+    ]
+
+
 def all_gather_rows(rows: List[dict]) -> List[dict]:
     """Merge per-process lists of small JSON-serializable dicts (submission
     rows) across processes; every process returns the full concatenation,
-    ordered by process index.
-
-    Implementation: rows -> utf-8 json -> uint8 array padded to the global
-    max (allgather needs equal shapes), one `process_allgather` over DCN.
-    Submission rows are ~100 B each — this is metadata traffic, not a data
-    path."""
+    ordered by process index. Control-plane transport (_kv_allgather)."""
     if jax.process_count() == 1:
         return list(rows)
-    from jax.experimental import multihost_utils
-
-    blob = json.dumps(rows).encode()
-    n = np.array([len(blob)], np.int64)
-    max_n = int(multihost_utils.process_allgather(n).max())
-    padded = np.zeros(max_n, np.uint8)
-    padded[: len(blob)] = np.frombuffer(blob, np.uint8)
-    lens = multihost_utils.process_allgather(n).ravel()
-    blobs = multihost_utils.process_allgather(padded)  # (P, max_n)
     out: List[dict] = []
-    for p in range(jax.process_count()):
-        out.extend(json.loads(bytes(blobs[p, : int(lens[p])]).decode()))
+    for blob in _kv_allgather(json.dumps(rows).encode(), "rows"):
+        out.extend(json.loads(blob.decode()))
     return out
 
 
@@ -106,10 +143,8 @@ def assert_same_across_processes(value: float, what: str = "value") -> None:
     decision) must agree across processes or hosts would diverge."""
     if jax.process_count() == 1:
         return
-    from jax.experimental import multihost_utils
-
-    all_vals = multihost_utils.process_allgather(
-        np.array([value], np.float64)).ravel()
+    blobs = _kv_allgather(np.float64(value).tobytes(), "same")
+    all_vals = np.frombuffer(b"".join(blobs), np.float64)
     if not np.allclose(all_vals, all_vals[0], rtol=1e-6, atol=1e-9):
         raise RuntimeError(
             f"{what} diverged across processes: {all_vals.tolist()}")

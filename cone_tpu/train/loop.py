@@ -289,6 +289,14 @@ def train(
     history = []
 
     for epoch in range(start_epoch, cfg.train.n_epoch):
+        if multi:
+            # align ranks before the epoch's first cross-host collective:
+            # Gloo's lazy communicator setup has a ~30 s rendezvous window
+            # and compile/IO skew between ranks can exceed it
+            # (parallel/distributed.barrier)
+            from cone_tpu.parallel.distributed import barrier
+
+            barrier(f"epoch{epoch}")
         meters = defaultdict(AverageMeter)
         loss_meters = defaultdict(AverageMeter)
         adapter_on = (
@@ -332,7 +340,13 @@ def train(
             and (epoch + 1) % cfg.train.eval_epoch_interval == 0
         )
         if do_eval:
-            res = evaluate(model, params, eval_ds, cfg, mesh=mesh)
+            # eval.fused_train_eval routes the eval through the fused device
+            # path (bit-identical to host postproc since the device dedup +
+            # max_before_nms parity work; keeps MAD-scale eval epochs off
+            # host Python)
+            res = evaluate(model, params, eval_ds, cfg, mesh=mesh,
+                           host_postproc=not cfg.eval.fused_train_eval,
+                           fused=cfg.eval.fused_train_eval)
             score = res["stop_score"]
             if multi:
                 # the stop score drives early stopping on every process —

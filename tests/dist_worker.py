@@ -1,0 +1,64 @@
+"""Worker process for tests/test_multiprocess.py: one rank of a real
+2-process CPU cluster (2 virtual devices each -> 4-device global dp mesh).
+
+Runs distributed training (global batches, per-process rows, XLA gradient
+all-reduce over the Gloo backend) and the sharded+gathered eval, then dumps
+a JSON summary the parent test compares across ranks and against a
+single-process reference run.
+
+Usage: python dist_worker.py <process_id> <port> <workdir> <out_prefix>
+"""
+
+import json
+import sys
+
+
+def main():
+    pid, port, workdir, out_prefix = (
+        int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from cone_tpu.parallel.distributed import global_mesh, initialize
+
+    initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+               local_device_count=2)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4, jax.device_count()
+    assert len(jax.local_devices()) == 2
+
+    from tests.dist_worker_cfg import make_cfg_and_ds
+
+    cfg, ds = make_cfg_and_ds()
+
+    from cone_tpu.train.loop import evaluate, train
+
+    mesh = global_mesh()
+    params, history = train(cfg, ds, ds, workdir, mesh=mesh)
+
+    model_params_sum = float(sum(
+        abs(x).sum() for x in map(jax.device_get, jax.tree.leaves(params))))
+
+    from cone_tpu.train.loop import build_family
+
+    model, _ = build_family(cfg, seed=cfg.train.seed)
+    res = evaluate(model, params, ds, cfg, mesh=mesh)
+
+    out = {
+        "process": pid,
+        "losses": [h["loss_overall"] for h in history],
+        "param_sum": model_params_sum,
+        "stop_score": res["stop_score"],
+        "n_eval_rows": len(res["submissions"]["fusion"]),
+        "n_ranklists": len(res["ranklists"]),
+    }
+    with open(f"{out_prefix}.{pid}.json", "w") as f:
+        json.dump(out, f)
+    print(f"worker {pid}: ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Multi-host (DCN) execution on a REAL 2-process CPU cluster.
+
+Two subprocess ranks, 2 virtual CPU devices each, one 4-device global dp
+mesh: distributed training (identical global batches, per-process local
+rows, XLA gradient all-reduce over Gloo) plus the video-sharded eval whose
+submission rows gather back so every rank sees the full metric table.
+The ranks must agree with each other bit-for-bit and match a single-process
+run of the same seeded problem.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def dist_outputs(tmp_path_factory):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    workdir = str(tmp_path_factory.mktemp("distrun"))
+    out_prefix = os.path.join(workdir, "out")
+    port = _free_port()
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=root,
+        JAX_COMPILATION_CACHE_DIR="/tmp/cone_tpu_jax_cache_cpu",
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+    )
+    env.pop("XLA_FLAGS", None)  # workers set their own device counts
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(root, "tests", "dist_worker.py"),
+             str(pid), str(port), workdir, out_prefix],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1500)
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+    outs = []
+    for pid in (0, 1):
+        with open(f"{out_prefix}.{pid}.json") as f:
+            outs.append(json.load(f))
+    return workdir, outs
+
+
+@pytest.mark.slow
+def test_ranks_agree(dist_outputs):
+    """Both ranks see identical losses, final params and stop scores (same
+    global batches; the all-reduce makes updates identical everywhere)."""
+    _, (a, b) = dist_outputs
+    assert a["process"] == 0 and b["process"] == 1
+    np.testing.assert_allclose(a["losses"], b["losses"], rtol=1e-6)
+    np.testing.assert_allclose(a["param_sum"], b["param_sum"], rtol=1e-6)
+    assert a["stop_score"] == pytest.approx(b["stop_score"])
+    # eval rows gathered from both video shards -> full query set everywhere
+    assert a["n_eval_rows"] == b["n_eval_rows"] == 16
+    assert a["n_ranklists"] == b["n_ranklists"] == 16
+
+
+@pytest.mark.slow
+def test_matches_single_process(dist_outputs):
+    """The 2-process run reproduces a single-process run of the same seeded
+    problem (batch content identical; only the reduction layout differs)."""
+    import jax
+
+    from cone_tpu.train.loop import evaluate, train
+    from tests.dist_worker_cfg import make_cfg_and_ds
+
+    workdir_mp, (a, _) = dist_outputs
+    cfg, ds = make_cfg_and_ds()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as wd:
+        params, history = train(cfg, ds, ds, wd)
+    np.testing.assert_allclose(
+        [h["loss_overall"] for h in history], a["losses"], rtol=2e-4)
+    psum = float(sum(abs(x).sum()
+                     for x in map(jax.device_get, jax.tree.leaves(params))))
+    np.testing.assert_allclose(psum, a["param_sum"], rtol=2e-4)
+
+    # rank 0 wrote the usual artifacts (shared-workdir layout)
+    for f in ["config.json", "metrics.jsonl", "model_best.msgpack"]:
+        assert os.path.exists(os.path.join(workdir_mp, f)), f

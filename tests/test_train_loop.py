@@ -188,3 +188,22 @@ def test_bf16_training_losses_fall(cfg, ds, tmp_path_factory):
     losses = [h["loss_overall"] for h in history]
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_fused_train_eval_matches_host(trained, cfg, ds):
+    """eval.fused_train_eval routes training-loop evals through the fused
+    device path; stop score and recall tables must be bit-identical to the
+    reference-exact host postproc (the parity the device dedup +
+    max_before_nms work bought)."""
+    import dataclasses
+
+    workdir, params, _ = trained
+    model, _ = build_model_and_params(cfg.model, seed=0)
+    host = evaluate(model, params, ds, cfg)
+    cfg_f = cfg.replace(eval=dataclasses.replace(
+        cfg.eval, fused_train_eval=True))
+    fused = evaluate(model, params, ds, cfg_f, host_postproc=False, fused=True)
+    assert fused["stop_score"] == pytest.approx(host["stop_score"], abs=1e-9)
+    for name in ("fusion", "proposal", "matching"):
+        np.testing.assert_array_equal(
+            host[f"recall_{name}"], fused[f"recall_{name}"])
