@@ -126,15 +126,23 @@ def _kv_allgather(payload: bytes, tag: str, timeout_s: int = 900) -> List[bytes]
     ]
 
 
+def all_gather_obj(obj, tag: str = "obj") -> List:
+    """All-gather ONE JSON-serializable object per process; every process
+    returns the per-process list in process order. Control-plane transport
+    (_kv_allgather) — metadata only, not a tensor path."""
+    if jax.process_count() == 1:
+        return [obj]
+    return [json.loads(b.decode())
+            for b in _kv_allgather(json.dumps(obj).encode(), tag)]
+
+
 def all_gather_rows(rows: List[dict]) -> List[dict]:
     """Merge per-process lists of small JSON-serializable dicts (submission
     rows) across processes; every process returns the full concatenation,
-    ordered by process index. Control-plane transport (_kv_allgather)."""
-    if jax.process_count() == 1:
-        return list(rows)
+    ordered by process index."""
     out: List[dict] = []
-    for blob in _kv_allgather(json.dumps(rows).encode(), "rows"):
-        out.extend(json.loads(blob.decode()))
+    for part in all_gather_obj(rows, "rows"):
+        out.extend(part)
     return out
 
 

@@ -278,6 +278,13 @@ class CorpusRetriever:
         batches up to `fine_chunk` queries that shortlisted the same movie
         into one dispatch.
 
+        Multi-host (jax.distributed initialized): each process holds its
+        own library shard, scans and fine-runs only its own movies; the
+        global window budget and the candidate rows merge over the
+        coordination service (parallel/distributed.all_gather_obj), so
+        every process returns the identical corpus-wide ranking and
+        capacity scales linearly with hosts.
+
         Args:
             token_feats_list: Q arrays of (Lq_i, Dt) query token features.
             cls_feats: (Q, Dt) holistic query features.
@@ -309,15 +316,54 @@ class CorpusRetriever:
             cols_scores.append(np.asarray(scores[:, :n_win]))
             col_cid.extend([cid] * n_win)
             col_w.extend(range(n_win))
-        S = np.concatenate(cols_scores, axis=1)  # (Q, W_total)
+        S = (np.concatenate(cols_scores, axis=1) if cols_scores
+             else np.zeros((nq, 0), np.float32))  # (Q, W_total)
         col_w = np.asarray(col_w)
+        col_cid_arr = np.asarray(col_cid)
         kth = min(k, S.shape[1])
-        top = np.argpartition(-S, kth - 1, axis=1)[:, :kth]
+        # deterministic local top-k under the (score desc, video, window)
+        # TOTAL order — coarse scores tie exactly whenever 50%-overlapping
+        # windows share their segment-max frame, so an argpartition-only
+        # cut would pick arbitrary tie members and sharded vs unsharded
+        # libraries would disagree. argpartition to a 4x margin first (tie
+        # groups are O(overlap)≈2-3 wide; a group would need >3k members
+        # to straddle the margin), then lexsort just the margin.
+        local_sel: List[np.ndarray] = []
+        for qi in range(nq):
+            if kth:
+                m = min(S.shape[1], max(4 * kth, kth + 64))
+                part = (np.argpartition(-S[qi], m - 1)[:m]
+                        if m < S.shape[1] else np.arange(S.shape[1]))
+                order = part[np.lexsort(
+                    (col_w[part], col_cid_arr[part], -S[qi, part]))]
+                local_sel.append(order[:kth])
+            else:
+                local_sel.append(np.zeros(0, np.int64))
+        # the (host-local) top-k is a SUPERSET of this process's
+        # contribution to the global top-k; multi-host, the tiny
+        # (score, video, window) triples merge over the control plane and
+        # each process fine-runs only its own videos from the global
+        # selection. Tie-break is (score desc, video, window) — the SAME
+        # deterministic rule single- and multi-host (coarse scores tie
+        # exactly when 50%-overlapping windows share their segment-max
+        # frame, so an order-dependent tie-break would make sharded and
+        # unsharded libraries disagree).
+        payload = [[(float(S[qi, c]), col_cid[c], int(col_w[c]))
+                    for c in local_sel[qi]] for qi in range(nq)]
+        if jax.process_count() > 1:
+            from cone_tpu.parallel.distributed import all_gather_obj
+
+            gathered = all_gather_obj(payload, "corpus_topk")
+        else:
+            gathered = [payload]
+        mine = set(self.clip_ids)
         chosen: List[Dict[str, List[int]]] = [dict() for _ in range(nq)]
         for qi in range(nq):
-            cols = top[qi][np.argsort(-S[qi, top[qi]], kind="stable")]
-            for c in cols:
-                chosen[qi].setdefault(col_cid[c], []).append(int(col_w[c]))
+            merged = sorted((tuple(t) for g in gathered for t in g[qi]),
+                            key=lambda t: (-t[0], t[1], t[2]))[:k]
+            for _, cid, w in merged:
+                if cid in mine:
+                    chosen[qi].setdefault(cid, []).append(int(w))
 
         # stage 3: fine — queries that shortlisted the same movie batch
         # into one dispatch (fine_chunk lanes); all dispatches before the
@@ -375,6 +421,14 @@ class CorpusRetriever:
                              float(f"{spans_sec[j, w, p, 1]:.4f}"),
                              float(f"{prob[j, w, p]:.4f}"),
                              float(f"{match[j, w, p]:.4f}")])
+        if jax.process_count() > 1:
+            # merge candidate rows across hosts BEFORE fusion: min-max
+            # normalization must see the query's full corpus-wide candidate
+            # set or per-host fused scores wouldn't be comparable
+            from cone_tpu.parallel.distributed import all_gather_obj
+
+            parts = all_gather_obj(rows, "corpus_rows")
+            rows = [sum((g[qi] for g in parts), []) for qi in range(nq)]
         return [
             self._postprocess(rows[qi], queries[qi], top_moments)
             for qi in range(nq)

@@ -47,6 +47,25 @@ def main():
     model, _ = build_family(cfg, seed=cfg.train.seed)
     res = evaluate(model, params, ds, cfg, mesh=mesh)
 
+    # multi-host corpus retrieval: each rank holds its shard of the video
+    # library; the global budget + candidate rows merge over the control
+    # plane, so both ranks must return the identical corpus-wide ranking
+    from cone_tpu.parallel.distributed import shard_by_process
+    from cone_tpu.serve.corpus import CorpusRetriever
+    from tests.dist_worker_cfg import make_corpus_queries
+
+    # fresh seeded params (not the trained ones) so the parent test can
+    # reproduce the exact same retriever without re-training
+    from cone_tpu.models.init import build_model_and_params
+
+    cmodel, cparams = build_model_and_params(cfg.model, seed=cfg.train.seed)
+    retr = CorpusRetriever(cmodel, cparams, cfg, dataset=None, fine_chunk=4)
+    vids = sorted(ds.video_ids)
+    for cid in shard_by_process(vids):
+        retr.add_video(cid, ds.video_features(cid)[0])
+    toks, clsv = make_corpus_queries(ds)
+    hits = retr.search_batch(toks, clsv, top_moments=5)
+
     out = {
         "process": pid,
         "losses": [h["loss_overall"] for h in history],
@@ -54,6 +73,10 @@ def main():
         "stop_score": res["stop_score"],
         "n_eval_rows": len(res["submissions"]["fusion"]),
         "n_ranklists": len(res["ranklists"]),
+        "corpus_hits": [
+            [[h["video_id"], h["span"][0], h["span"][1], h["fused"]]
+             for h in per_q] for per_q in hits
+        ],
     }
     with open(f"{out_prefix}.{pid}.json", "w") as f:
         json.dump(out, f)

@@ -32,3 +32,16 @@ def make_cfg_and_ds():
         dim=DIM, signal=3.0, seed=7,
     )
     return cfg, ds
+
+
+def make_corpus_queries(ds, n=6):
+    """(token_feats_list, cls_feats) for the corpus-search phase — the
+    first n examples' query features, identical on every rank."""
+    import numpy as np
+
+    toks, clss = [], []
+    for ex in ds.examples[:n]:
+        tok, cls = ds.query_features(ex.query_id)
+        toks.append(tok)
+        clss.append(cls)
+    return toks, np.stack(clss)

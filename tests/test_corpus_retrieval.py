@@ -234,3 +234,75 @@ def test_mesh_sharded_library_matches_single(cfg, ds):
             assert a["video_id"] == b["video_id"]
             np.testing.assert_allclose(a["span"], b["span"], atol=1e-4)
             np.testing.assert_allclose(a["fused"], b["fused"], atol=1e-3)
+
+
+def test_sharded_library_merge_matches_full(cfg, ds):
+    """The multi-host merge path (global top-k + pre-fusion row merge over
+    the control plane, serve/corpus.py search_batch) returns EXACTLY the
+    full-library single-host ranking. Emulated in-process: two shard
+    retrievers, all_gather_obj stubbed with staged capture/replay — the
+    real 2-process cluster version is tests/test_multiprocess.py
+    test_corpus_search_sharded_library."""
+    import jax
+
+    import cone_tpu.parallel.distributed as dist_mod
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+
+    def build(vids):
+        r = CorpusRetriever(model, params, cfg, dataset=None, fine_chunk=4)
+        for cid in vids:
+            r.add_video(cid, ds.video_features(cid)[0])
+        return r
+
+    vids = sorted(ds.video_ids)
+    toks, clss = [], []
+    for ex in ds.examples[:6]:
+        tok, cls = ds.query_features(ex.query_id)
+        toks.append(tok)
+        clss.append(cls)
+    clsv = np.stack(clss)
+    want = build(vids).search_batch(toks, clsv, top_moments=5)
+    shards = [build(vids[0::2]), build(vids[1::2])]
+
+    class Stop(Exception):
+        pass
+
+    captured = {}
+    orig_pc, orig_gather = jax.process_count, dist_mod.all_gather_obj
+
+    def run(rank, upto):
+        n = [0]
+
+        def fake(obj, tag="obj"):
+            i = n[0]
+            n[0] += 1
+            if i < upto:
+                return captured[i]
+            captured.setdefault(i, [None, None])[rank] = obj
+            raise Stop()
+
+        jax.process_count = lambda: 2
+        dist_mod.all_gather_obj = fake
+        try:
+            return shards[rank].search_batch(toks, clsv, top_moments=5)
+        except Stop:
+            return None
+        finally:
+            jax.process_count = orig_pc
+            dist_mod.all_gather_obj = orig_gather
+
+    for upto in (0, 1):  # capture call 0 (global top-k), call 1 (rows)
+        for rank in (0, 1):
+            run(rank, upto)
+    outs = [run(0, 99), run(1, 99)]
+
+    for got in outs:  # every rank returns the identical full-library view
+        assert got is not None
+        for gq, wq in zip(got, want):
+            assert [h["video_id"] for h in gq] == [h["video_id"] for h in wq]
+            np.testing.assert_allclose(
+                [h["fused"] for h in gq], [h["fused"] for h in wq], atol=1e-6)
+            np.testing.assert_allclose(
+                np.array([h["span"] for h in gq], np.float64),
+                np.array([h["span"] for h in wq], np.float64), atol=1e-4)

@@ -96,3 +96,33 @@ def test_matches_single_process(dist_outputs):
     # rank 0 wrote the usual artifacts (shared-workdir layout)
     for f in ["config.json", "metrics.jsonl", "model_best.msgpack"]:
         assert os.path.exists(os.path.join(workdir_mp, f)), f
+
+
+@pytest.mark.slow
+def test_corpus_search_sharded_library(dist_outputs):
+    """Multi-host corpus retrieval: the library shards across ranks (2
+    movies each), the window budget and candidate rows merge over the
+    control plane. Both ranks must return the identical corpus-wide
+    ranking, and it must match a single-process retriever holding the
+    full library."""
+    _, (a, b) = dist_outputs
+    assert a["corpus_hits"] == b["corpus_hits"]
+
+    from cone_tpu.models.init import build_model_and_params
+    from cone_tpu.serve.corpus import CorpusRetriever
+    from tests.dist_worker_cfg import make_cfg_and_ds, make_corpus_queries
+
+    cfg, ds = make_cfg_and_ds()
+    model, params = build_model_and_params(cfg.model, seed=cfg.train.seed)
+    retr = CorpusRetriever(model, params, cfg, dataset=None, fine_chunk=4)
+    for cid in sorted(ds.video_ids):
+        retr.add_video(cid, ds.video_features(cid)[0])
+    toks, clsv = make_corpus_queries(ds)
+    want = retr.search_batch(toks, clsv, top_moments=5)
+    got = a["corpus_hits"]
+    assert len(got) == len(want)
+    for gq, wq in zip(got, want):
+        assert [g[0] for g in gq] == [w["video_id"] for w in wq]
+        for g, w in zip(gq, wq):
+            np.testing.assert_allclose(g[1:3], w["span"], atol=1e-4)
+            np.testing.assert_allclose(g[3], w["fused"], atol=1e-3)
