@@ -234,12 +234,27 @@ class TrainLoader:
     def steps_per_epoch(self):
         return len(self.ds) // self.bsz
 
-    def epoch(self, epoch_i: int):
+    def epoch(self, epoch_i: int, lo: int = 0, hi: Optional[int] = None):
+        """Yield this epoch's batches; `lo:hi` materializes only that row
+        slice of each GLOBAL batch.
+
+        Multi-host loader contract: the permutation depends only on
+        (seed, epoch) and each sample draws from its OWN generator seeded
+        (seed, epoch, example index), so any process can build exactly its
+        row block — identical to what a single process would build at
+        those rows — without sequential rng coupling or reading the other
+        hosts' features (a P-times feature-read amplification at MAD
+        scale otherwise)."""
         rng = np.random.default_rng((self.seed, epoch_i))
         order = rng.permutation(len(self.ds))
         for b in range(self.steps_per_epoch()):
-            idxs = order[b * self.bsz : (b + 1) * self.bsz]
-            samples = [self.ds.sample_train(int(i), rng) for i in idxs]
+            idxs = order[b * self.bsz : (b + 1) * self.bsz][lo:hi]
+            samples = [
+                self.ds.sample_train(
+                    int(i), np.random.default_rng((self.seed, epoch_i, int(i)))
+                )
+                for i in idxs
+            ]
             yield {
                 k: np.stack([s[k] for s in samples]) for k in samples[0]
             }

@@ -31,14 +31,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh, axis: str = "dp") -> dict:
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "dp",
+                local: bool = False) -> dict:
     """Device-put every array in a host batch with its leading dim sharded.
 
-    Multi-process (DCN) meshes: every process holds the SAME full host batch
-    (seeded loaders are deterministic), and each contributes the contiguous
+    Multi-process (DCN) meshes: each process contributes the contiguous
     row block its addressable devices own — the standard
     `make_array_from_process_local_data` data-parallel layout (mesh device
-    order is jax.devices(), which is process-major)."""
+    order is jax.devices(), which is process-major). With `local=False`
+    the batch is the full GLOBAL batch (every process built the same one)
+    and this process's block is sliced out; with `local=True` the batch
+    already contains ONLY this process's rows (the loader materialized
+    just its slice — see data/dataset.py TrainLoader.epoch)."""
     sh = batch_sharding(mesh, axis)
     if jax.process_count() == 1 or mesh.devices.size <= len(jax.local_devices()):
         return {k: jax.device_put(v, sh) for k, v in batch.items()}
@@ -46,10 +50,11 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "dp") -> dict:
 
     def put(v):
         v = np.asarray(v)
-        n = v.shape[0]
-        assert n % pc == 0, (
-            f"global batch dim {n} must divide by process count {pc}")
-        local = v[pi * (n // pc) : (pi + 1) * (n // pc)]
-        return jax.make_array_from_process_local_data(sh, local)
+        if not local:
+            n = v.shape[0]
+            assert n % pc == 0, (
+                f"global batch dim {n} must divide by process count {pc}")
+            v = v[pi * (n // pc) : (pi + 1) * (n // pc)]
+        return jax.make_array_from_process_local_data(sh, v)
 
     return {k: put(v) for k, v in batch.items()}

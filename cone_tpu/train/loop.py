@@ -307,11 +307,21 @@ def train(
             jax.profiler.start_trace(os.path.join(workdir, "profile"))
         from cone_tpu.data.prefetch import prefetch_iterator
 
-        for batch in prefetch_iterator(loader.epoch(epoch)):
+        if multi:
+            # each process materializes ONLY its row block of every global
+            # batch (per-sample seeded rng makes the rows identical to a
+            # single-process build; no P-times feature-read amplification)
+            pc, pi = jax.process_count(), jax.process_index()
+            assert cfg.train.bsz % pc == 0, (cfg.train.bsz, pc)
+            per = cfg.train.bsz // pc
+            batches = loader.epoch(epoch, lo=pi * per, hi=(pi + 1) * per)
+        else:
+            batches = loader.epoch(epoch)
+        for batch in prefetch_iterator(batches):
             meters["dataloading_time"].update(time.time() - t_load)
             t0 = time.time()
             if mesh is not None:
-                batch = shard_batch(batch, mesh)
+                batch = shard_batch(batch, mesh, local=multi)
             meters["prepare_inputs_time"].update(time.time() - t0)
             t0 = time.time()
             rng, sub = jax.random.split(rng)

@@ -128,3 +128,17 @@ def test_txt_drop_ratio_zeroes_token_rows():
     # deterministic given the same seeded rng
     s1b = ds_drop.sample_train(0, np.random.default_rng(7))
     np.testing.assert_array_equal(s1b["query_tokens"], s1["query_tokens"])
+
+
+def test_train_loader_row_slice_matches_full(ds):
+    """The multi-host loader contract (dataset.py TrainLoader.epoch): rows
+    [lo:hi) of each global batch materialize bit-identically whether the
+    process builds the full batch or only its slice — per-sample seeded
+    generators make the rows independent of who builds them."""
+    full = list(TrainLoader(ds, bsz=4, seed=0).epoch(0))
+    lo, hi = 2, 4
+    part = list(TrainLoader(ds, bsz=4, seed=0).epoch(0, lo=lo, hi=hi))
+    assert len(part) == len(full)
+    for fb, pb in zip(full, part):
+        for k in fb:
+            np.testing.assert_array_equal(fb[k][lo:hi], pb[k])
