@@ -242,6 +242,12 @@ def _force_platform_from_env():
 def main(argv=None):
     _force_platform_from_env()
     p = argparse.ArgumentParser(prog="cone_tpu")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="jax.config debug_nans: fail loudly at the op that"
+                        " first produces a NaN (the 2D-TAN reference's"
+                        " torch.autograd.set_detect_anomaly counterpart,"
+                        " cone_2dtan/moment_localization/train.py:28)."
+                        " Disables jit fast paths; debugging only")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("train", help="train a CONE model")
@@ -318,6 +324,10 @@ def main(argv=None):
     c.set_defaults(fn=cmd_convert_store)
 
     args = p.parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if args.cmd in ("train", "infer") and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
         import jax
 

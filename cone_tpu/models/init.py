@@ -19,14 +19,18 @@ def build_model_and_params(cfg: ModelConfig, seed: int = 0):
     model = ConeModel(cfg)
     rng = jax.random.PRNGKey(seed)
     b, lq, lv = 2, cfg.max_q_l, cfg.max_v_l
+    # ones, not zeros: parameter shapes don't depend on input values, but
+    # zero features hit the (reference-exact, eps-free) x/||x|| in the
+    # matching branch as 0/0 at trace time, which trips `--debug_nans`
+    # before training even starts
     variables = model.init(
         {"params": rng},
-        jnp.zeros((b, lq, cfg.t_feat_dim)),
+        jnp.ones((b, lq, cfg.t_feat_dim)),
         jnp.ones((b, lq)),
-        jnp.zeros((b, lv, cfg.v_motion_feat_dim)),
+        jnp.ones((b, lv, cfg.v_motion_feat_dim)),
         jnp.ones((b, lv)),
-        jnp.zeros((b, cfg.t_feat_dim)),
-        jnp.zeros((b, lv, cfg.v_appear_feat_dim)),
+        jnp.ones((b, cfg.t_feat_dim)),
+        jnp.ones((b, lv, cfg.v_appear_feat_dim)),
         jnp.ones((b, lv)),
         method=ConeModel.init_all,
     )

@@ -81,6 +81,50 @@ def main():
     np.savez_compressed("tests/golden/postproc.npz", **blob)
     print(f"wrote tests/golden/postproc.npz: {len(blob)} arrays")
 
+    # ---- MAD geometry: 30 windows x 10 proposals = 300 candidates, the
+    # regime where max_before_nms=200 BINDS (truncation changes the NMS
+    # input set; cone/inference.py:108-112), plus the nms_thd=-1 path
+    # (before_nms_output[:max_after_nms], :126-127). Includes exact score
+    # ties and duplicate spans at the truncation boundary.
+    rng = np.random.default_rng(23)
+    k, nq, n_mad = 30, 10, 4
+    blob2 = {}
+    for qi in range(n_mad):
+        centers = rng.uniform(10, 7000, size=(k, nq))
+        widths = rng.uniform(1, 60, size=(k, nq))
+        spans = np.stack([centers - widths / 2, centers + widths / 2], -1)
+        prob = rng.uniform(0, 1, size=(k, nq))
+        match = rng.uniform(-1, 1, size=(k, nq))
+        # exact prob ties across windows + duplicate spans (dict dedup:
+        # LAST occurrence's scores win in the reference's cand dict build)
+        prob[3, :] = prob[2, :]
+        spans[5, 1] = spans[4, 1]
+        spans[29, 9] = spans[0, 0]
+        cands = []
+        for w in range(k):
+            rows = [
+                [float(spans[w, j, 0]), float(spans[w, j, 1]),
+                 float(prob[w, j]), float(match[w, j])]
+                for j in range(nq)
+            ]
+            rows = sorted(rows, key=lambda x: x[2], reverse=True)
+            rows = [[float(f"{v:.4f}") for v in r] for r in rows]
+            cands.extend(rows)
+        ret = score_fusion(cands)
+        for thd, tag in [(0.5, "nms"), (-1, "raw")]:
+            opt2 = SimpleNamespace(nms_thd=thd, max_before_nms=200,
+                                   max_after_nms=5, eval_split_name="val")
+            for name, idx in [("proposal", 0), ("matching", 1),
+                              ("fusion", 2)]:
+                out = post_processing_mr_nms(opt2, ret, idx)
+                blob2[f"q{qi}_{tag}_{name}"] = np.asarray(out, np.float64)
+        blob2[f"q{qi}_spans"] = spans
+        blob2[f"q{qi}_prob"] = prob
+        blob2[f"q{qi}_match"] = match
+    blob2["n_queries"] = np.int64(n_mad)
+    np.savez_compressed("tests/golden/postproc_mad.npz", **blob2)
+    print(f"wrote tests/golden/postproc_mad.npz: {len(blob2)} arrays")
+
 
 if __name__ == "__main__":
     main()
