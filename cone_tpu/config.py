@@ -250,6 +250,17 @@ def ego4d_scratch_config() -> ConeConfig:
     return cfg.replace(model=dataclasses.replace(cfg.model, nheads=4))
 
 
+def mad_scratch_config() -> ConeConfig:
+    """MAD preset for FROM-SCRATCH training: mad_config() with nheads=4
+    (d_head 64 on the 128-wide MXU; identical parameter count). Measured
+    in one process on v5e at full MAD serving scale: 921 -> 1004 q/s
+    device (+9%, tools — see docs/RESULTS.md round 3). Converted
+    reference checkpoints need nheads=8, so the plain preset keeps the
+    reference geometry."""
+    cfg = mad_config()
+    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=4))
+
+
 def tan_ego4d_config() -> ConeConfig:
     """Canonical 2D-TAN Ego4D config (cone_2dtan/experiments/ego4d/
     2D-TAN-64x64-K9L4-pool-sw-0.5bias-nms-con-match-adapt.yaml): window 64

@@ -48,3 +48,14 @@ def test_mad_presets_geometry():
     # that exceeds max_before_nms=200 (covered by test_nms_device_parity)
     assert tan_mad.data.topk_window * tan_mad.tan.proposal_top_k == 300
     assert tan_mad.eval.max_before_nms == 200
+
+
+def test_mad_scratch_preset_differs_only_in_nheads():
+    """mad_scratch = mad with nheads=4 (measured +9% device q/s at full
+    MAD serving scale, identical params — docs/RESULTS.md round 3)."""
+    from cone_tpu.config import mad_scratch_config
+
+    base, scratch = mad_config(), mad_scratch_config()
+    assert scratch.model.nheads == 4 and base.model.nheads == 8
+    assert scratch.replace(
+        model=dataclasses.replace(scratch.model, nheads=8)) == base
