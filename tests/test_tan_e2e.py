@@ -220,3 +220,43 @@ def test_tan_stride2_pipeline(cfgs_s2, ds_s2, model_and_params_s2):
         want = np.asarray([t[:2] for t in by_qid[row["query_id"]]["predicted_times"]])
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_tan_sharded_step_matches_unsharded(cfgs, ds):
+    """The TAN train step's DP sharding (the TPU-native counterpart of the
+    reference stack's ONLY parallelism, cone_2dtan torch.nn.DataParallel,
+    moment_localization/train.py:133-135): sharded over the 8-device mesh
+    == single-device, same losses."""
+    from cone_tpu.parallel.mesh import make_mesh, shard_batch
+    from cone_tpu.train.optim import make_tan_optimizer
+
+    cone, tan = cfgs
+
+    def run(mesh, n_steps=4):
+        model = ConeTanModel(tan)
+        var = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((2, 8, DIM)), jnp.ones((2, 8)), jnp.zeros((2, NC, DIM)),
+            jnp.zeros((2, DIM)), jnp.zeros((2, NC, DIM)),
+            method=ConeTanModel.init_all,
+        )
+        params = jax.tree.map(jnp.array, var["params"])
+        loader = TrainLoader(ds, bsz=cone.train.bsz, seed=0)
+        tx = make_tan_optimizer(cone.train)
+        opt_state = tx.init(params)
+        step = make_tan_train_step(model, tx, tan, mesh=mesh)
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for batch in loader.epoch(0):
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            params, opt_state, m = step(params, opt_state, batch, rng, False)
+            losses.append(float(m["loss_overall"]))
+            if len(losses) >= n_steps:
+                break
+        return losses
+
+    l1 = run(None)
+    l2 = run(make_mesh(8))
+    assert np.isfinite(l1).all()
+    np.testing.assert_allclose(l1, l2, rtol=2e-4)
