@@ -251,14 +251,15 @@ def ego4d_scratch_config() -> ConeConfig:
 
 
 def mad_scratch_config() -> ConeConfig:
-    """MAD preset for FROM-SCRATCH training: mad_config() with nheads=4
-    (d_head 64 on the 128-wide MXU; identical parameter count). Measured
-    in one process on v5e at full MAD serving scale: 921 -> 1004 q/s
-    device (+9%, tools — see docs/RESULTS.md round 3). Converted
-    reference checkpoints need nheads=8, so the plain preset keeps the
-    reference geometry."""
+    """MAD preset for FROM-SCRATCH training: mad_config() with nheads=2
+    (d_head 128 — exactly one MXU lane width; identical parameter count).
+    Measured in one process on v5e at full MAD serving scale: nheads
+    8 -> 4 -> 2 gives 921 -> 1008 -> 1084 q/s device (+18% total — see
+    docs/RESULTS.md round 3; at Ego4D scale nheads=4 remains best, so
+    ego4d_scratch keeps 4). Converted reference checkpoints need
+    nheads=8, so the plain preset keeps the reference geometry."""
     cfg = mad_config()
-    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=4))
+    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=2))
 
 
 def tan_ego4d_config() -> ConeConfig:

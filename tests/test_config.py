@@ -51,11 +51,12 @@ def test_mad_presets_geometry():
 
 
 def test_mad_scratch_preset_differs_only_in_nheads():
-    """mad_scratch = mad with nheads=4 (measured +9% device q/s at full
-    MAD serving scale, identical params — docs/RESULTS.md round 3)."""
+    """mad_scratch = mad with nheads=2 (d_head 128, one MXU lane; measured
+    921 -> 1008 -> 1084 q/s device for nheads 8 -> 4 -> 2 at full MAD
+    serving scale, identical params — docs/RESULTS.md round 3)."""
     from cone_tpu.config import mad_scratch_config
 
     base, scratch = mad_config(), mad_scratch_config()
-    assert scratch.model.nheads == 4 and base.model.nheads == 8
+    assert scratch.model.nheads == 2 and base.model.nheads == 8
     assert scratch.replace(
         model=dataclasses.replace(scratch.model, nheads=8)) == base
