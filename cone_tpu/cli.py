@@ -1,4 +1,5 @@
-"""Command-line drivers: train / infer / reformat / convert-store.
+"""Command-line drivers: train / infer / eval / ensemble / reformat /
+extract-text / convert-store.
 
 Counterparts of the reference's cone/train.py + cone/inference.py CLIs and
 data tools, driven by the typed ConeConfig (JSON) instead of ~60 argparse
@@ -145,6 +146,65 @@ def cmd_infer(args):
         results, miou = evaluate_ego4d_nlq(preds, gt, [0.3, 0.5], [1, 5, 10, 50, 100])
         print(display_ego4d_results(results, miou, [0.3, 0.5],
                                     [1, 5, 10, 50, 100], title="Official Ego4D"))
+
+
+def cmd_eval(args):
+    """Standalone metric evaluation over submission files — the counterpart
+    of the reference's standalone_eval CLIs (evaluate_ego4d_nlq.py:140-171,
+    evaluate_mad.py:119-150): compute recall tables from files alone, no
+    model or features needed."""
+    from cone_tpu.eval.metrics import (
+        display_ego4d_results, display_recall_table, evaluate_ego4d_nlq,
+        evaluate_recall_table, mean_first_iou,
+    )
+    from cone_tpu.utils.io import load_json, load_jsonl
+
+    if args.thresholds:
+        thresholds = [float(x) for x in args.thresholds]
+    else:
+        thresholds = [0.1, 0.3, 0.5] if args.dset == "mad" else [0.3, 0.5]
+    topk = [int(x) for x in args.topK] if args.topK else [1, 5, 10, 50, 100]
+
+    assert args.gt or args.ego4d_gt, "need --gt (flat jsonl) or --ego4d_gt"
+    if args.ego4d_gt:
+        # nested challenge GT json + challenge-format submission json
+        gt = load_json(args.ego4d_gt)
+        sub = load_json(args.submission)
+        preds = sub["results"] if isinstance(sub, dict) else sub
+        results, miou = evaluate_ego4d_nlq(preds, gt, thresholds, topk)
+        table = display_ego4d_results(results, miou, thresholds, topk,
+                                      title=args.title or "Official Ego4D")
+    else:
+        # flat jsonl GT (query_id + timestamps) + flat submission jsonl
+        gt = load_jsonl(args.gt)
+        sub = load_jsonl(args.submission)
+        recall = evaluate_recall_table(sub, gt, thresholds, topk,
+                                       match_number=not args.no_match_number)
+        miou = mean_first_iou(sub, gt) if args.dset == "ego4d" else None
+        table = display_recall_table(recall, thresholds, topk,
+                                     title=args.title, mIoU=miou)
+    print(table)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(table + "\n")
+
+
+def cmd_ensemble(args):
+    """Fuse N models' prediction jsonls (ECCV'22 challenge recipe,
+    ECCV_2022_workshop/ensemble.py:104-146). Rows are aligned by query_id
+    (the reference zips three files written in the same order; sorting by
+    query_id makes that robust to file order)."""
+    from cone_tpu.eval.ensemble import ensemble_predictions
+    from cone_tpu.utils.io import load_jsonl, save_jsonl
+
+    subs = [sorted(load_jsonl(p), key=lambda r: str(r["query_id"]))
+            for p in args.inputs]
+    qids = [tuple(r["query_id"] for r in s) for s in subs]
+    assert all(q == qids[0] for q in qids), "inputs cover different query sets"
+    fused = ensemble_predictions(subs, max_input=args.max_input,
+                                 top1_max_input=args.top1_max_input)
+    save_jsonl(fused, args.output)
+    print(f"wrote {len(fused)} fused rows to {args.output}")
 
 
 def cmd_reformat(args):
@@ -300,6 +360,36 @@ def main(argv=None):
                    help="single-dispatch fused inference (fastest; device"
                         " postproc, all three scoring modalities)")
     i.set_defaults(fn=cmd_infer)
+
+    v = sub.add_parser("eval", help="recall tables from submission files"
+                                    " (standalone, no model)")
+    v.add_argument("--submission", required=True,
+                   help="prediction jsonl (flat) or challenge json (ego4d"
+                        " official, with --ego4d_gt)")
+    v.add_argument("--gt", help="flat GT jsonl (query_id + timestamps)")
+    v.add_argument("--ego4d_gt", help="official nested Ego4D GT json")
+    v.add_argument("--dset", choices=["ego4d", "mad"], default="ego4d",
+                   help="default thresholds (ego4d: 0.3/0.5 + mIoU;"
+                        " mad: 0.1/0.3/0.5)")
+    v.add_argument("--thresholds", nargs="+")
+    v.add_argument("--topK", nargs="+")
+    v.add_argument("--no_match_number", action="store_true",
+                   help="evaluate the intersection of query ids instead of"
+                        " requiring identical sets")
+    v.add_argument("--title")
+    v.add_argument("--out", help="append the table to this file")
+    v.set_defaults(fn=cmd_eval)
+
+    n = sub.add_parser("ensemble", help="fuse N prediction jsonls"
+                                        " (ECCV'22 recipe)")
+    n.add_argument("--inputs", nargs="+", required=True,
+                   help="2+ prediction jsonls (from `infer`)")
+    n.add_argument("--output", required=True)
+    n.add_argument("--max_input", type=int, default=4,
+                   help="top-N rows taken from each model")
+    n.add_argument("--top1_max_input", type=int, default=1,
+                   help="rows per model fed to the clustered top-1 synthesis")
+    n.set_defaults(fn=cmd_ensemble)
 
     r = sub.add_parser("reformat", help="challenge json -> flat jsonl")
     r.add_argument("--dset", choices=["ego4d", "mad"], required=True)

@@ -110,6 +110,98 @@ def test_flat_to_nested_roundtrip():
     assert [r["timestamps"] for r in rows2] == [r["timestamps"] for r in rows]
 
 
+def test_cli_eval_standalone(tmp_path, capsys):
+    """`cone_tpu eval`: recall tables from files alone (the reference's
+    standalone_eval CLI surface, evaluate_ego4d_nlq.py:140-171)."""
+    from cone_tpu.cli import main
+    from cone_tpu.utils.io import save_jsonl
+
+    gt = [
+        {"query_id": "a_0", "timestamps": [10.0, 20.0]},
+        {"query_id": "a_1", "timestamps": [30.0, 40.0]},
+    ]
+    sub = [
+        # hit for a_0 at rank 1 (IoU 1.0); miss then hit at rank 2 for a_1
+        {"query_id": "a_0", "predicted_times": [[10.0, 20.0, 0.9]]},
+        {"query_id": "a_1",
+         "predicted_times": [[0.0, 5.0, 0.8], [30.0, 40.0, 0.7]]},
+    ]
+    save_jsonl(gt, str(tmp_path / "gt.jsonl"))
+    save_jsonl(sub, str(tmp_path / "sub.jsonl"))
+    out = tmp_path / "tables.txt"
+    main(["eval", "--submission", str(tmp_path / "sub.jsonl"),
+          "--gt", str(tmp_path / "gt.jsonl"), "--dset", "ego4d",
+          "--topK", "1", "5", "--out", str(out)])
+    printed = capsys.readouterr().out
+    # R@1 = 50% at both IoUs, R@5 = 100%; mIoU of first preds = (1.0 + 0)/2
+    assert "50.00" in printed and "100.00" in printed
+    assert "mIoU" in printed
+    assert "50.00" in out.read_text()
+
+    # official nested path
+    nested = {"videos": [{"clips": [{"clip_uid": "c", "annotations": [
+        {"annotation_uid": "a", "language_queries": [
+            {"clip_start_sec": 10.0, "clip_end_sec": 20.0},
+            {"clip_start_sec": 30.0, "clip_end_sec": 40.0},
+        ]}]}]}]}
+    challenge = {"results": [
+        {"clip_uid": "c", "annotation_uid": "a", "query_idx": 0,
+         "predicted_times": [[10.0, 20.0]]},
+        {"clip_uid": "c", "annotation_uid": "a", "query_idx": 1,
+         "predicted_times": [[0.0, 5.0], [30.0, 40.0]]},
+    ]}
+    json.dump(nested, open(tmp_path / "gt.json", "w"))
+    json.dump(challenge, open(tmp_path / "sub.json", "w"))
+    main(["eval", "--submission", str(tmp_path / "sub.json"),
+          "--ego4d_gt", str(tmp_path / "gt.json"), "--topK", "1", "5"])
+    printed = capsys.readouterr().out
+    assert "50.00" in printed and "100.00" in printed
+
+
+def test_cli_ensemble(tmp_path):
+    """`cone_tpu ensemble` fuses prediction jsonls and pads to exactly 5
+    rows (ECCV_2022_workshop/ensemble.py recipe)."""
+    from cone_tpu.cli import main
+    from cone_tpu.eval.ensemble import ensemble_predictions
+    from cone_tpu.utils.io import load_jsonl, save_jsonl
+
+    rng = np.random.default_rng(0)
+
+    def fake_sub(seed):
+        rows = []
+        rng = np.random.default_rng(seed)
+        for q in range(3):
+            times = []
+            for _ in range(5):
+                st = float(rng.uniform(0, 90))
+                ed = st + float(rng.uniform(1, 10))
+                times.append([round(st, 2), round(ed, 2),
+                              float(rng.uniform()), float(rng.uniform()),
+                              float(rng.uniform())])
+            times.sort(key=lambda t: t[-1], reverse=True)
+            rows.append({"query_id": f"q_{q}", "query": "x", "video_id": "v",
+                         "clip_id": "v", "predicted_times": times})
+        return rows
+
+    subs = [fake_sub(s) for s in (1, 2, 3)]
+    paths = []
+    for i, s in enumerate(subs):
+        p = str(tmp_path / f"m{i}.jsonl")
+        # shuffle row order: the CLI must align by query_id
+        save_jsonl(s[::-1] if i == 1 else s, p)
+        paths.append(p)
+    out = str(tmp_path / "fused.jsonl")
+    main(["ensemble", "--inputs", *paths, "--output", out])
+    fused = load_jsonl(out)
+    assert len(fused) == 3
+    assert all(len(r["predicted_times"]) == 5 for r in fused)
+    expect = ensemble_predictions(subs)
+    for got, exp in zip(fused, expect):
+        assert got["query_id"] == exp["query_id"]
+        np.testing.assert_allclose(got["predicted_times"],
+                                   exp["predicted_times"], rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_cli_train_infer_roundtrip(tmp_path):
     """Write packed stores + jsonl, run the real CLI train (1 epoch tiny) and
