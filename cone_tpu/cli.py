@@ -85,6 +85,8 @@ def cmd_train(args):
         initialize(args.coordinator, args.num_processes, args.process_id)
 
     cfg = _load_cfg(args)
+    if args.debug:
+        cfg = _apply_overrides(cfg, ["train.debug=true"])
     if args.train_path:
         cfg = cfg.replace(data=dc.replace(cfg.data, train_path=args.train_path))
     if args.eval_path:
@@ -101,6 +103,12 @@ def cmd_train(args):
         eval_ds = (
             _open_dataset(cfg, cfg.data.eval_path) if cfg.data.eval_path else None
         )
+    if cfg.data.train_data_ratio != 1.0:
+        # train-split-only downsample (the reference's --train_data_ratio,
+        # cone/config.py:29-32; data_ratio applies to every split)
+        n = int(len(train_ds.examples) * cfg.data.train_data_ratio)
+        train_ds.examples = train_ds.examples[:n]
+        print(f"train_data_ratio={cfg.data.train_data_ratio}: {n} train samples")
     mesh = make_mesh() if args.mesh else None
     train(cfg, train_ds, eval_ds, args.workdir, mesh=mesh, profile=args.profile,
           init_ckpt=args.init_ckpt)
@@ -327,6 +335,10 @@ def main(argv=None):
     t.add_argument("--eval_path")
     t.add_argument("--synthetic", action="store_true",
                    help="train on generated synthetic data (smoke runs)")
+    t.add_argument("--debug", action="store_true",
+                   help="smoke mode: 3 batches per epoch, one query chunk"
+                        " per eval (the reference's --debug,"
+                        " cone/config.py:27-28)")
     t.add_argument("--mesh", action="store_true", help="DP over all devices")
     t.add_argument("--profile", action="store_true",
                    help="jax.profiler trace of the first epoch")

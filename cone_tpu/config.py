@@ -104,7 +104,10 @@ class DataConfig:
     clip_length: float = 0.535    # seconds per clip feature (ego4d EgoVLP)
     max_windows: int = 5
     topk_window: int = 20
-    data_ratio: float = 1.0
+    data_ratio: float = 1.0        # downsample every split (config.py:33-36)
+    # downsample the TRAIN split only (dev convenience, config.py:29-32);
+    # applied on top of data_ratio by the train driver
+    train_data_ratio: float = 1.0
     normalize_v: bool = True
     normalize_t: bool = True
     txt_drop_ratio: float = 0.0
@@ -133,6 +136,10 @@ class TrainConfig:
     exp_id: str = "exp"
     save_interval: int = 50
     dp_devices: int = 1           # data-parallel mesh size
+    # smoke mode: cap each train epoch at 3 batches and evals at one query
+    # chunk (the reference's --debug break-all-loops flag, cone/config.py:27-28,
+    # train.py:101-102)
+    debug: bool = False
 
 
 @dataclass(frozen=True)

@@ -97,6 +97,13 @@ def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
     submission rows merge at the end, every process computes the full
     metric table so early stopping stays consistent
     (parallel/distributed.py)."""
+    if cfg.train.debug:
+        # smoke mode: one query chunk end-to-end (GT below is built from the
+        # same truncated example list, so the metric tables stay consistent)
+        import copy
+
+        eval_ds = copy.copy(eval_ds)
+        eval_ds.examples = eval_ds.examples[: max(cfg.eval.query_chunk, 8)]
     ds_local, multi = eval_ds, jax.process_count() > 1
     if multi:
         import copy
@@ -317,6 +324,10 @@ def train(
             batches = loader.epoch(epoch, lo=pi * per, hi=(pi + 1) * per)
         else:
             batches = loader.epoch(epoch)
+        if cfg.train.debug:
+            import itertools
+
+            batches = itertools.islice(batches, 3)
         for batch in prefetch_iterator(batches):
             meters["dataloading_time"].update(time.time() - t_load)
             t0 = time.time()

@@ -207,3 +207,27 @@ def test_fused_train_eval_matches_host(trained, cfg, ds):
     for name in ("fusion", "proposal", "matching"):
         np.testing.assert_array_equal(
             host[f"recall_{name}"], fused[f"recall_{name}"])
+
+
+def test_debug_smoke_mode(cfg, ds, tmp_path_factory):
+    """train.debug caps epochs at 3 batches and evals at one query chunk
+    (the reference's --debug break-all-loops flag, cone/config.py:27-28)."""
+    import dataclasses
+
+    cfg_d = cfg.replace(train=dataclasses.replace(
+        cfg.train, debug=True, n_epoch=2, eval_epoch_interval=1))
+    workdir = str(tmp_path_factory.mktemp("dbgrun"))
+    params, history = train(cfg_d, ds, ds, workdir)
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss_overall"]) for h in history)
+    # eval truncation: the written predictions cover one chunk, not all 36
+    import json as _json
+
+    preds = [_json.loads(l)
+             for l in open(os.path.join(workdir, "latest_preds.jsonl"))]
+    assert len(preds) == max(cfg_d.eval.query_chunk, 8)
+
+    model, _ = build_model_and_params(cfg_d.model, seed=0)
+    res = evaluate(model, params, ds, cfg_d)
+    assert len(res["submissions"]["fusion"]) == max(cfg_d.eval.query_chunk, 8)
+    assert np.isfinite(res["stop_score"])
