@@ -31,7 +31,11 @@ def cfg():
             topk_window=5, max_ctx_l=256, max_windows=5,
         ),
         train=TrainConfig(
-            bsz=8, n_epoch=4, eval_epoch_interval=2, lr=3e-4,
+            # 36 samples x 8 epochs: enough AdamW steps that the loss trend
+            # dominates the per-epoch sampling noise (4 epochs = 18 steps
+            # proved assertion-flippingly marginal when the loader's rng
+            # stream changed)
+            bsz=8, n_epoch=8, eval_epoch_interval=4, lr=3e-4,
             start_epoch_for_adapter=1, save_interval=100, max_es_cnt=10,
         ),
         eval=EvalConfig(query_chunk=4),
@@ -55,7 +59,10 @@ def trained(cfg, ds, tmp_path_factory):
 
 def test_losses_fall(trained):
     _, _, history = trained
-    assert history[-1]["loss_overall"] < history[0]["loss_overall"]
+    # mean of the last two epochs vs the first: single-epoch averages over
+    # ~5 tiny batches swing +-10% with the sampling stream
+    last = np.mean([h["loss_overall"] for h in history[-2:]])
+    assert last < history[0]["loss_overall"]
     assert all(np.isfinite(h["loss_overall"]) for h in history)
 
 
@@ -180,14 +187,14 @@ def test_bf16_training_losses_fall(cfg, ds, tmp_path_factory):
 
     cfg_bf16 = cfg.replace(
         model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
-        train=dataclasses.replace(cfg.train, n_epoch=2,
+        train=dataclasses.replace(cfg.train, n_epoch=6,
                                   eval_epoch_interval=100),
     )
     workdir = str(tmp_path_factory.mktemp("bf16run"))
     params, history = train(cfg_bf16, ds, ds, workdir)
     losses = [h["loss_overall"] for h in history]
     assert np.all(np.isfinite(losses))
-    assert losses[-1] < losses[0]
+    assert np.mean(losses[-2:]) < losses[0]
 
 
 def test_fused_train_eval_matches_host(trained, cfg, ds):
