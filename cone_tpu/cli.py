@@ -1,5 +1,5 @@
-"""Command-line drivers: train / infer / eval / ensemble / reformat /
-extract-text / convert-store.
+"""Command-line drivers: train / infer / serve / eval / ensemble /
+reformat / extract-text / convert-store.
 
 Counterparts of the reference's cone/train.py + cone/inference.py CLIs and
 data tools, driven by the typed ConeConfig (JSON) instead of ~60 argparse
@@ -215,6 +215,38 @@ def cmd_ensemble(args):
     print(f"wrote {len(fused)} fused rows to {args.output}")
 
 
+def cmd_serve(args):
+    """HTTP serving front end over a trained workdir (serve/server.py):
+    /search across the resident corpus, /localize for one-shot videos,
+    /add_video, /healthz, /stats."""
+    from cone_tpu.serve.server import MomentService, make_server
+    from cone_tpu.train.checkpoint import CheckpointManager
+    from cone_tpu.train.loop import build_family
+
+    cfg = CheckpointManager.load_config(args.workdir)
+    cfg = _apply_overrides(cfg, args.set)
+    model, template = build_family(cfg, seed=0)
+    ckpt = CheckpointManager(args.workdir)
+    params, _, epoch, _ = ckpt.restore(args.ckpt, template)
+    print(f"restored '{args.ckpt}' (epoch {epoch})")
+    ds = _open_dataset(cfg, args.preload_path) if args.preload_path else None
+    encoder = None
+    if args.text_backend:
+        # raw-text requests: encode queries with the predictor's host-side
+        # text towers (clip / roberta / egovlp)
+        from cone_tpu.serve.predictor import MomentPredictor
+
+        pred = MomentPredictor(model, params, cfg, backend=args.text_backend,
+                               egovlp_checkpoint=args.egovlp_checkpoint)
+        encoder = pred.text_features
+    service = MomentService(model, params, cfg, text_encoder=encoder,
+                            dataset=ds)
+    srv = make_server(service, host=args.host, port=args.port)
+    print(f"serving {len(service.retriever.clip_ids)} videos on "
+          f"http://{srv.server_address[0]}:{srv.server_address[1]}")
+    srv.serve_forever()
+
+
 def cmd_reformat(args):
     from cone_tpu.data import reformat
     from cone_tpu.utils.io import load_json, save_jsonl
@@ -373,6 +405,22 @@ def main(argv=None):
                         " postproc, all three scoring modalities)")
     i.set_defaults(fn=cmd_infer)
 
+    s = sub.add_parser("serve", help="HTTP moment-retrieval server over a"
+                                     " trained workdir")
+    s.add_argument("--workdir", required=True)
+    s.add_argument("--ckpt", default="best")
+    s.add_argument("--set", action="append")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--preload_path",
+                   help="jsonl whose videos preload into the corpus (uses"
+                        " the workdir config's feature stores)")
+    s.add_argument("--text_backend", choices=["clip", "egovlp"],
+                   help="accept raw-text queries by encoding them host-side"
+                        " (omit: requests must carry token/cls features)")
+    s.add_argument("--egovlp_checkpoint")
+    s.set_defaults(fn=cmd_serve)
+
     v = sub.add_parser("eval", help="recall tables from submission files"
                                     " (standalone, no model)")
     v.add_argument("--submission", required=True,
@@ -434,7 +482,7 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
-    if args.cmd in ("train", "infer") and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    if args.cmd in ("train", "infer", "serve") and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
         import jax
 
         # namespace the default cache by backend: a shared dir would hand

@@ -1,0 +1,175 @@
+"""HTTP serving front end: JSON in, ranked moments out.
+
+The reference stops at a Python demo script (run_on_video/run.py); this is
+the deployment-shaped counterpart — a threaded stdlib HTTP server wrapping
+the compiled serving paths (OnlineLocalizer for one-shot videos,
+CorpusRetriever for the resident library), with health/stats endpoints and
+a single device lock (one chip executes one program at a time; the fused
+paths already batch internally).
+
+Endpoints (all JSON):
+  GET  /healthz    {"ok", "backend", "videos"}
+  GET  /stats      request counters, per-endpoint mean latency, corpus size
+  POST /add_video  {"clip_id", "features": [[...]], "motion_features"?}
+  POST /search     {"token_features", "cls_feature", "query"?,
+                    "top_moments"?, "search_windows"?}   -> corpus ranking
+  POST /localize   {"video_features", "token_features", "cls_feature",
+                    "query"?, "top_k"?}                  -> one-video moments
+`token_features`/`cls_feature` may be omitted when the service was built
+with a text encoder (then pass "query" text alone).
+
+No third-party server dependency: stdlib http.server is enough because the
+device lock serializes the hot path anyway; front-line TLS/auth belongs on
+whatever proxy fronts the pod.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from collections import defaultdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+
+class MomentService:
+    """Request-level wrapper over the serving components.
+
+    text_encoder: optional `query_text -> (token_feats (Lq, Dt),
+    cls_feat (Dt,))` (e.g. MomentPredictor.text_features) letting clients
+    send raw text instead of features.
+    """
+
+    def __init__(self, model, params, cfg, text_encoder: Optional[Callable] = None,
+                 dataset=None, mesh=None):
+        from cone_tpu.serve.corpus import CorpusRetriever
+        from cone_tpu.serve.localizer import OnlineLocalizer
+
+        self.retriever = CorpusRetriever(model, params, cfg, dataset=dataset,
+                                         mesh=mesh)
+        self.localizer = OnlineLocalizer(model, params, cfg, mesh=mesh)
+        self.text_encoder = text_encoder
+        self._device_lock = threading.Lock()
+        self._counts = defaultdict(int)
+        self._lat_sum = defaultdict(float)
+
+    # ------------------------------------------------------------ helpers
+
+    def _text(self, payload) -> Tuple[np.ndarray, np.ndarray]:
+        if "token_features" in payload and "cls_feature" in payload:
+            return (np.asarray(payload["token_features"], np.float32),
+                    np.asarray(payload["cls_feature"], np.float32))
+        assert self.text_encoder is not None, (
+            "no token_features/cls_feature in request and the service has"
+            " no text encoder")
+        tok, cls = self.text_encoder(payload["query"])
+        return np.asarray(tok, np.float32), np.asarray(cls, np.float32)
+
+    def _timed(self, name: str, fn):
+        t0 = time.time()
+        try:
+            return fn()
+        finally:
+            self._counts[name] += 1
+            self._lat_sum[name] += time.time() - t0
+
+    # ---------------------------------------------------------- endpoints
+
+    def healthz(self) -> dict:
+        import jax
+
+        return {"ok": True, "backend": jax.default_backend(),
+                "videos": len(self.retriever.clip_ids)}
+
+    def stats(self) -> dict:
+        lat = {k: round(self._lat_sum[k] / max(self._counts[k], 1), 4)
+               for k in self._counts}
+        clips = sum(
+            len(self.retriever.pipe.ds._vid_cache[c][0])
+            for c in self.retriever.clip_ids
+            if c in self.retriever.pipe.ds._vid_cache
+        )
+        return {"requests": dict(self._counts), "mean_latency_s": lat,
+                "videos": len(self.retriever.clip_ids), "total_clips": clips}
+
+    def add_video(self, payload: dict) -> dict:
+        feats = np.asarray(payload["features"], np.float32)
+        motion = payload.get("motion_features")
+        motion = None if motion is None else np.asarray(motion, np.float32)
+        with self._device_lock:
+            self._timed("add_video", lambda: self.retriever.add_video(
+                payload["clip_id"], feats, motion_feats=motion))
+        return {"ok": True, "clip_id": payload["clip_id"],
+                "clips": len(feats)}
+
+    def search(self, payload: dict) -> dict:
+        tok, cls = self._text(payload)
+        with self._device_lock:
+            moments = self._timed("search", lambda: self.retriever.search(
+                tok, cls, query=payload.get("query", ""),
+                search_windows=payload.get("search_windows"),
+                top_moments=int(payload.get("top_moments", 10))))
+        for m in moments:  # tuples -> lists for JSON
+            m["span"] = [float(m["span"][0]), float(m["span"][1])]
+        return {"moments": moments}
+
+    def localize(self, payload: dict) -> dict:
+        tok, cls = self._text(payload)
+        vid = np.asarray(payload["video_features"], np.float32)
+        with self._device_lock:
+            times = self._timed("localize", lambda: self.localizer.localize(
+                vid, tok, cls, query=payload.get("query", ""),
+                top_k=payload.get("top_k")))
+        return {"moments": [[float(x) for x in row] for row in times]}
+
+    def handle(self, method: str, path: str, payload: Optional[dict]):
+        """Route one request; returns (status, body dict)."""
+        try:
+            if method == "GET" and path == "/healthz":
+                return 200, self.healthz()
+            if method == "GET" and path == "/stats":
+                return 200, self.stats()
+            if method == "POST" and path == "/add_video":
+                return 200, self.add_video(payload)
+            if method == "POST" and path == "/search":
+                return 200, self.search(payload)
+            if method == "POST" and path == "/localize":
+                return 200, self.localize(payload)
+            return 404, {"error": f"no route {method} {path}"}
+        except (KeyError, AssertionError, ValueError) as e:
+            return 400, {"error": f"{type(e).__name__}: {e}"}
+
+
+def make_server(service: MomentService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; .server_address[1] has the bound
+    port (pass port=0 for an ephemeral one). Run with serve_forever()."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, status: int, body: dict):
+            data = json.dumps(body).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            self._reply(*service.handle("GET", self.path, None))
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError as e:
+                self._reply(400, {"error": f"bad json: {e}"})
+                return
+            self._reply(*service.handle("POST", self.path, payload))
+
+        def log_message(self, *a):  # quiet; /stats carries the counters
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)

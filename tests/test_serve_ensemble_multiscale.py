@@ -175,3 +175,84 @@ def test_egovlp_predictor_end_to_end(cfg, tmp_path, monkeypatch):
     cached = pred.video_features(str(tmp_path / "vid.mp4"))
     assert cached.shape == (40, DIM)
     assert seen_fps == [(2.0, 16)]  # second call hit the cache
+
+
+def test_http_server_roundtrip(cfg, rng):
+    """serve/server.py: add_video -> search and localize over real HTTP,
+    plus health/stats and error handling."""
+    import json
+    import threading
+    import urllib.request
+
+    from cone_tpu.serve.server import MomentService, make_server
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    service = MomentService(model, params, cfg)
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=300) as r:
+            return r.status, json.loads(r.read())
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        status, health = get("/healthz")
+        assert status == 200 and health["ok"] and health["videos"] == 0
+
+        cls = rng.normal(size=(DIM,)).astype(np.float32)
+        cls /= np.linalg.norm(cls)
+        tok = rng.normal(size=(6, DIM)).astype(np.float32)
+        # two videos; plant the query signal in video b at [100, 120)
+        va = rng.normal(size=(150, DIM)).astype(np.float32)
+        vb = rng.normal(size=(150, DIM)).astype(np.float32)
+        vb[100:120] += 5.0 * cls
+        for cid, v in [("a", va), ("b", vb)]:
+            status, body = post("/add_video",
+                                {"clip_id": cid, "features": v.tolist()})
+            assert status == 200 and body["clips"] == 150
+
+        status, body = post("/search", {
+            "token_features": tok.tolist(), "cls_feature": cls.tolist(),
+            "query": "planted", "top_moments": 5,
+        })
+        assert status == 200
+        moments = body["moments"]
+        assert 1 <= len(moments) <= 5
+        best = max(moments, key=lambda m: m["match"])
+        assert best["video_id"] == "b"
+        assert best["span"][0] < 120 and best["span"][1] > 95
+
+        status, body = post("/localize", {
+            "video_features": vb.tolist(), "token_features": tok.tolist(),
+            "cls_feature": cls.tolist(), "top_k": 3,
+        })
+        assert status == 200 and 1 <= len(body["moments"]) <= 3
+
+        status, stats = get("/stats")
+        assert status == 200
+        assert stats["videos"] == 2 and stats["total_clips"] == 300
+        assert stats["requests"] == {"add_video": 2, "search": 1,
+                                     "localize": 1}
+        assert all(v >= 0 for v in stats["mean_latency_s"].values())
+
+        # errors: bad route, missing fields, no text encoder
+        assert post("/nope", {})[0] == 404
+        status, body = post("/search", {"query": "text only"})
+        assert status == 400 and "text encoder" in body["error"]
+        status, body = post("/add_video", {"clip_id": "x"})
+        assert status == 400 and "KeyError" in body["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
