@@ -188,6 +188,12 @@ def main():
         "unit": "queries/sec",
         "vs_baseline": round(qps / baseline_qps, 2),
         "vs_baseline_faithful": round(qps / baseline_faithful_qps, 2),
+        # device-vs-device ratio: fused per-query device time vs the
+        # baseline loop's 20 sequential per-window forwards — the ratio
+        # least polluted by the tunnel session's dispatch-rate patchiness
+        # (wall vs_baseline has varied 15-59x across sessions from the
+        # BASELINE side alone; see RESULTS.md)
+        "vs_baseline_device": round(perf["device_qps"] / baseline_qps, 2),
         # device_qps is the stable cross-session number (tunnel-independent)
         **perf,
     }))
