@@ -134,6 +134,16 @@ def cmd_infer(args):
     out = os.path.join(args.workdir, f"inference_{args.ckpt}_preds.jsonl")
     save_jsonl(res["submissions"]["fusion"], out)
     print(f"wrote {out}")
+    # coarse-stage ranklists, evaluable standalone via `cone_tpu eval
+    # --ranklists` (the reference saves these for
+    # evaluate_pre_filtered_window.py's file-driven CLI)
+    rank_out = os.path.join(args.workdir, f"inference_{args.ckpt}_windows.jsonl")
+    save_jsonl(
+        [{"query_id": q, "ranklist": [int(w) for w in r]}
+         for q, r in res["ranklists"].items()],
+        rank_out,
+    )
+    print(f"wrote {rank_out}")
 
     from cone_tpu.eval.submission import to_ego4d_challenge, write_submission
 
@@ -172,6 +182,29 @@ def cmd_eval(args):
     else:
         thresholds = [0.1, 0.3, 0.5] if args.dset == "mad" else [0.3, 0.5]
     topk = [int(x) for x in args.topK] if args.topK else [1, 5, 10, 50, 100]
+
+    if args.ranklists:
+        # coarse-stage window recall from a saved ranklist file (the
+        # reference's evaluate_pre_filtered_window.py standalone CLI)
+        from cone_tpu.eval.metrics import (
+            display_window_results, evaluate_window_ranklists,
+        )
+
+        assert args.gt, "window-recall eval needs --gt (flat jsonl)"
+        gt = load_jsonl(args.gt)
+        ranklists = {r["query_id"]: r["ranklist"]
+                     for r in load_jsonl(args.ranklists)}
+        wtopk = [int(x) for x in args.topK] if args.topK else [1, 5, 10, 30, 50]
+        rec = evaluate_window_ranklists(
+            ranklists, gt, wtopk, args.clip_length, args.max_v_l,
+            match_number=not args.no_match_number)
+        table = display_window_results(
+            rec, wtopk, title=args.title or "Window Pre-filtering")
+        print(table)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(table + "\n")
+        return
 
     assert args.gt or args.ego4d_gt, "need --gt (flat jsonl) or --ego4d_gt"
     if args.ego4d_gt:
@@ -436,6 +469,14 @@ def main(argv=None):
     v.add_argument("--no_match_number", action="store_true",
                    help="evaluate the intersection of query ids instead of"
                         " requiring identical sets")
+    v.add_argument("--ranklists",
+                   help="window-ranklist jsonl (from `infer`): report"
+                        " coarse-stage window recall instead"
+                        " (evaluate_pre_filtered_window.py)")
+    v.add_argument("--clip_length", type=float, default=0.535,
+                   help="seconds per clip (window-recall mode)")
+    v.add_argument("--max_v_l", type=int, default=90,
+                   help="window length in clips (window-recall mode)")
     v.add_argument("--title")
     v.add_argument("--out", help="append the table to this file")
     v.set_defaults(fn=cmd_eval)

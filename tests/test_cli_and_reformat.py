@@ -138,6 +138,19 @@ def test_cli_eval_standalone(tmp_path, capsys):
     assert "mIoU" in printed
     assert "50.00" in out.read_text()
 
+    # window-recall mode (evaluate_pre_filtered_window.py CLI counterpart):
+    # stride = max_v_l/2 = 16; a_0 GT [10,20]s -> windows {0,1,2}, hit at
+    # rank 2; a_1 GT [30,40]s -> {1,2,3}, no hit
+    save_jsonl([{"query_id": "a_0", "ranklist": [5, 0]},
+                {"query_id": "a_1", "ranklist": [7, 9]}],
+               str(tmp_path / "windows.jsonl"))
+    main(["eval", "--submission", str(tmp_path / "sub.jsonl"),
+          "--gt", str(tmp_path / "gt.jsonl"),
+          "--ranklists", str(tmp_path / "windows.jsonl"),
+          "--clip_length", "1.0", "--max_v_l", "32", "--topK", "1", "2"])
+    printed = capsys.readouterr().out
+    assert "0.00" in printed and "50.00" in printed
+
     # official nested path
     nested = {"videos": [{"clips": [{"clip_uid": "c", "annotations": [
         {"annotation_uid": "a", "language_queries": [
