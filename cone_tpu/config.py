@@ -159,9 +159,12 @@ class EvalConfig:
     # tax at MAD scale. Empty = single max_ctx_l shape.
     ctx_buckets: tuple = ()
     # fused path: number of (video, query-chunk) work items batched into ONE
-    # device dispatch (vmapped); dispatch round-trips dominate on tunneled
-    # single-chip setups
-    video_batch: int = 4
+    # device dispatch (vmapped). Default 1 — measured fastest device-side
+    # (3023 q/s vb=1 vs 2369 vb=8 at ego4d scale: XLA optimizes the
+    # unbatched program better, and the batched result fetch already
+    # pipelines dispatch round trips). Raise only on high-latency links
+    # where per-dispatch overhead dominates (docs/SERVING.md).
+    video_batch: int = 1
     # coarse stage via the fused Pallas kernel (ops/pallas_coarse.py) instead
     # of the XLA matmul+reduce. Measured on v5e the XLA path is at least as
     # fast (tools/bench_coarse.py), so this defaults off; the kernel exists
