@@ -320,6 +320,12 @@ def mad_config() -> ConeConfig:
         ),
         train=TrainConfig(n_epoch=30, lr_drop=25, bsz=32, seed=2020),
         # bucketed padding: a standard 2 h @ 5 fps movie (~36k clips) pads to
-        # 36864 instead of 65536 — ~1.8x less coarse-stage compute/HBM
-        eval=EvalConfig(ctx_buckets=(8192, 16384, 24576, 36864, 49152)),
+        # 36864 instead of 65536 — ~1.8x less coarse-stage compute/HBM.
+        # fused_train_eval: at MAD scale a training-loop eval pushes 300
+        # candidates/query through host Python; the fused device path is
+        # bit-identical (tests/test_nms_device_parity.py TAN-MAD geometry,
+        # test_train_loop.py fused==host), so the preset keeps eval epochs
+        # on the chip.
+        eval=EvalConfig(ctx_buckets=(8192, 16384, 24576, 36864, 49152),
+                        fused_train_eval=True),
     )
