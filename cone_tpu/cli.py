@@ -134,6 +134,15 @@ def cmd_infer(args):
     out = os.path.join(args.workdir, f"inference_{args.ckpt}_preds.jsonl")
     save_jsonl(res["submissions"]["fusion"], out)
     print(f"wrote {out}")
+    if args.save_all:
+        # all three scoring modalities (the reference's --save_all,
+        # cone/config.py:124 + inference.py:322-331 ablation outputs)
+        for name in ("proposal", "matching"):
+            if name in res["submissions"]:
+                p = os.path.join(args.workdir,
+                                 f"inference_{args.ckpt}_{name}_preds.jsonl")
+                save_jsonl(res["submissions"][name], p)
+                print(f"wrote {p}")
     # coarse-stage ranklists, evaluable standalone via `cone_tpu eval
     # --ranklists` (the reference saves these for
     # evaluate_pre_filtered_window.py's file-driven CLI)
@@ -436,6 +445,9 @@ def main(argv=None):
     i.add_argument("--fused", action="store_true",
                    help="single-dispatch fused inference (fastest; device"
                         " postproc, all three scoring modalities)")
+    i.add_argument("--save_all", action="store_true",
+                   help="also write the proposal/matching modality"
+                        " prediction files (reference --save_all)")
     i.set_defaults(fn=cmd_infer)
 
     s = sub.add_parser("serve", help="HTTP moment-retrieval server over a"

@@ -280,8 +280,12 @@ def test_cli_train_infer_roundtrip(tmp_path):
 
     r = subprocess.run(
         [sys.executable, "-m", "cone_tpu.cli", "infer", "--workdir", workdir,
-         "--ckpt", "best"],
+         "--ckpt", "best", "--save_all"],
         capture_output=True, text=True, env=env, timeout=1800,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "Rank@1" in r.stdout
+    for f in ["inference_best_preds.jsonl", "inference_best_windows.jsonl",
+              "inference_best_proposal_preds.jsonl",
+              "inference_best_matching_preds.jsonl"]:
+        assert os.path.exists(os.path.join(workdir, f)), f
