@@ -306,13 +306,32 @@ def cmd_reformat(args):
     print(f"wrote {len(rows)} rows to {args.output}")
 
 
+def cmd_extract_video(args):
+    """Video files -> one packed .cfs of CLIP clip features (the
+    reference's feature_extraction/clip_extractor.py CLI surface)."""
+    from cone_tpu.extract.video import extract_clip_video
+
+    videos = {}
+    for spec in args.videos:
+        if "=" in spec:
+            clip_id, path = spec.split("=", 1)
+        else:
+            clip_id, path = os.path.splitext(os.path.basename(spec))[0], spec
+        videos[clip_id] = path
+    extract_clip_video(videos, args.out,
+                       model_name=args.model or "openai/clip-vit-base-patch32",
+                       fps=args.fps, batch_size=args.batch_size,
+                       device=args.device, engine=args.engine)
+    print(f"wrote {len(videos)} video feature rows to {args.out}")
+
+
 def cmd_extract_text(args):
     from cone_tpu.extract import text as tx
 
     if args.backend == "clip":
         tx.extract_clip_text(args.input, args.out,
                              model_name=args.model or "openai/clip-vit-base-patch32",
-                             device=args.device)
+                             device=args.device, engine=args.engine)
     elif args.backend == "roberta":
         tx.extract_roberta_text(args.input, args.out,
                                 model_name=args.model or "roberta-base",
@@ -520,7 +539,23 @@ def main(argv=None):
     e.add_argument("--model")
     e.add_argument("--checkpoint", help="EgoVLP checkpoint (txt projection)")
     e.add_argument("--device", default="cpu")
+    e.add_argument("--engine", choices=["torch", "flax"], default="torch",
+                   help="flax = run the CLIP tower on the jax device (TPU)")
     e.set_defaults(fn=cmd_extract_text)
+
+    ev = sub.add_parser("extract-video",
+                        help="video files -> CLIP clip-feature .cfs store")
+    ev.add_argument("--videos", required=True, nargs="+",
+                    help="clip_id=path pairs, or bare paths (id = basename)")
+    ev.add_argument("--out", required=True, help="output .cfs path")
+    ev.add_argument("--model")
+    ev.add_argument("--fps", type=float, default=5.0,
+                    help="5 for MAD-style CLIP features (train_mad.sh)")
+    ev.add_argument("--batch_size", type=int, default=64)
+    ev.add_argument("--device", default="cpu")
+    ev.add_argument("--engine", choices=["torch", "flax"], default="torch",
+                    help="flax = run the CLIP tower on the jax device (TPU)")
+    ev.set_defaults(fn=cmd_extract_video)
 
     c = sub.add_parser("convert-store", help="features -> packed .cfs store")
     c.add_argument("--input", required=True)

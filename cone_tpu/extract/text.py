@@ -1,7 +1,10 @@
 """Offline text feature extraction -> packed .cfs stores.
 
-Host-side preprocessing (torch/transformers, out of TPU scope — SURVEY.md
-§2.4). Produces the two stores the data layer consumes
+Tokenization stays host-side; the CLIP text tower runs either on host
+torch (`engine="torch"`) or TPU-native through the flax ClipTextTower
+(`engine="flax"`, models/clip.py). RoBERTa/DistilBERT token extraction
+remains host torch (SURVEY.md §2.4). Produces the two stores the data
+layer consumes
 (`tokens.cfs` + `cls.cfs`), with the reference's exact feature semantics:
 
   * CLIP  (feature_extraction/mad_clip_text_extractor.py,
@@ -46,30 +49,82 @@ def _queries(jsonl_path: str) -> List[Tuple[str, str]]:
 
 def extract_clip_text(jsonl_path: str, out_dir: str,
                       model_name: str = "openai/clip-vit-base-patch32",
-                      batch_size: int = 60, device: str = "cpu") -> None:
+                      batch_size: int = 60, device: str = "cpu",
+                      engine: str = "torch",
+                      _model=None, _tokenizer=None) -> None:
+    """CLIP text features. `engine="torch"` runs the HF model on `device`
+    (host); `engine="flax"` runs the parity-tested flax tower
+    (models/clip.py) on the default jax device — the TPU when available.
+    `_model`/`_tokenizer` inject preloaded instances (tests)."""
     import torch
     from transformers import CLIPTextModelWithProjection, CLIPTokenizerFast
 
-    tokenizer = CLIPTokenizerFast.from_pretrained(model_name)
-    model = CLIPTextModelWithProjection.from_pretrained(model_name).to(device).eval()
+    tokenizer = _tokenizer or CLIPTokenizerFast.from_pretrained(model_name)
+    model = (_model or
+             CLIPTextModelWithProjection.from_pretrained(model_name)).eval()
 
     rows = _queries(jsonl_path)
+    if engine == "flax":
+        tokens, cls = _clip_text_flax(model, tokenizer, rows, batch_size)
+        _write_stores(out_dir, tokens, cls)
+        return
+
+    model = model.to(device)
     tokens, cls = {}, {}
     with torch.no_grad():
         for i in range(0, len(rows), batch_size):
             chunk = rows[i : i + batch_size]
             enc = tokenizer([q for _, q in chunk], padding=True,
                             truncation=True, return_tensors="pt").to(device)
-            out = model(**enc, output_hidden_states=False)
-            hidden = model.text_model.final_layer_norm(
-                model.text_model(**enc).last_hidden_state
-            )
+            out = model(**enc)
+            # token features = last_hidden_state, which HF returns AFTER
+            # final_layer_norm — exactly the reference's single ln_final
+            # (feature_extraction/clip/model.py:346)
+            hidden = out.last_hidden_state
             lengths = enc["attention_mask"].sum(1).tolist()
             for j, (qid, _) in enumerate(chunk):
                 # strip SOT + EOT like the reference (clip_extractor.py:53)
                 tokens[qid] = hidden[j, 1 : lengths[j] - 1].cpu().numpy()
                 cls[qid] = out.text_embeds[j].cpu().numpy()
     _write_stores(out_dir, tokens, cls)
+
+
+def _clip_text_flax(model, tokenizer, rows, batch_size):
+    """Run the flax text tower over fixed-shape (batch, context_length)
+    buckets — one compiled program for the whole extraction."""
+    import jax
+    import jax.numpy as jnp
+
+    from cone_tpu.models.clip import (ClipTextTower,
+                                      clip_text_state_dict_to_params,
+                                      text_config_from_hf)
+
+    cfg = text_config_from_hf(model.config)
+    params = clip_text_state_dict_to_params(model.state_dict(),
+                                            cfg.num_layers)
+    tower = ClipTextTower(cfg)
+    # the reference tokenizes at a fixed context length (clip_extractor.py:47)
+    # and its vendored CLIP masks causally only — padding cannot leak left
+    apply = jax.jit(lambda ids, eot: tower.apply({"params": params}, ids, eot))
+
+    tokens, cls = {}, {}
+    for i in range(0, len(rows), batch_size):
+        chunk = rows[i : i + batch_size]
+        enc = tokenizer([q for _, q in chunk], padding="max_length",
+                        max_length=cfg.context_length, truncation=True,
+                        return_tensors="np")
+        ids = enc["input_ids"].astype(np.int32)
+        lengths = enc["attention_mask"].sum(1).astype(np.int32)
+        if len(chunk) < batch_size:  # static batch: pad with repeated rows
+            reps = batch_size - len(chunk)
+            ids = np.concatenate([ids, np.repeat(ids[-1:], reps, 0)])
+            lengths = np.concatenate([lengths, np.repeat(lengths[-1:], reps)])
+        toks, emb = apply(jnp.asarray(ids), jnp.asarray(lengths - 1))
+        toks, emb = np.asarray(toks, np.float32), np.asarray(emb, np.float32)
+        for j, (qid, _) in enumerate(chunk):
+            tokens[qid] = toks[j, 1 : lengths[j] - 1].copy()
+            cls[qid] = emb[j].copy()
+    return tokens, cls
 
 
 def extract_roberta_text(jsonl_path: str, out_dir: str,

@@ -5,11 +5,14 @@ CLIP image features at a fixed fps, matching the reference pipeline
 `fps` via a subprocess pipe, frames go through the CLIP vision tower in
 batches, one row per frame.
 
-Host-side preprocessing (torch + ffmpeg, out of TPU scope). The EgoVLP
-video tower (divided space-time ViT) is re-implemented TPU-native in
-models/egovlp.py and driven by extract/egovlp_video.py; alternatively,
-EgoVLP clip features extracted with the upstream release convert straight
-into a .cfs store via `cone_tpu.cli convert-store --format pt_dir`.
+ffmpeg decode and CLIP image preprocessing stay host-side; the vision
+tower runs either on host torch (`engine="torch"`) or TPU-native through
+the flax ClipVisionTower (`engine="flax"`, models/clip.py — parity-pinned
+by tests/test_clip_parity.py). The EgoVLP video tower (divided space-time
+ViT) is likewise TPU-native in models/egovlp.py, driven by
+extract/egovlp_video.py; alternatively, EgoVLP clip features extracted
+with the upstream release convert straight into a .cfs store via
+`cone_tpu.cli convert-store --format pt_dir`.
 """
 
 from __future__ import annotations
@@ -45,14 +48,27 @@ def extract_clip_video(
     fps: float = 5.0,
     batch_size: int = 64,
     device: str = "cpu",
+    engine: str = "torch",
+    _model=None, _processor=None,
 ) -> None:
-    """videos: {clip_id: video_file_path} -> one .cfs store of (T, D) rows."""
+    """videos: {clip_id: video_file_path} -> one .cfs store of (T, D) rows.
+
+    `engine="torch"` runs the HF vision tower on `device` (host);
+    `engine="flax"` runs the parity-tested flax ClipVisionTower
+    (models/clip.py) on the default jax device — the TPU when available,
+    making CLIP extraction accelerator-native like the EgoVLP tower.
+    `_model`/`_processor` inject preloaded instances (tests)."""
     import torch
     from transformers import CLIPImageProcessor, CLIPVisionModelWithProjection
 
-    processor = CLIPImageProcessor.from_pretrained(model_name)
-    model = CLIPVisionModelWithProjection.from_pretrained(model_name)
-    model = model.to(device).eval()
+    processor = _processor or CLIPImageProcessor.from_pretrained(model_name)
+    model = (_model or
+             CLIPVisionModelWithProjection.from_pretrained(model_name)).eval()
+
+    encode = (_clip_vision_flax_encoder(model, batch_size)
+              if engine == "flax" else None)
+    if encode is None:
+        model = model.to(device)
 
     items = {}
     with torch.no_grad():
@@ -60,10 +76,42 @@ def extract_clip_video(
             frames = decode_frames(path, fps)
             feats: List[np.ndarray] = []
             for i in range(0, len(frames), batch_size):
-                inputs = processor(
-                    images=list(frames[i : i + batch_size]), return_tensors="pt"
-                ).to(device)
-                feats.append(model(**inputs).image_embeds.cpu().numpy())
+                batch = list(frames[i : i + batch_size])
+                if encode is not None:
+                    pix = processor(images=batch,
+                                    return_tensors="np")["pixel_values"]
+                    feats.append(encode(pix))
+                else:
+                    inputs = processor(images=batch,
+                                       return_tensors="pt").to(device)
+                    feats.append(model(**inputs).image_embeds.cpu().numpy())
             items[clip_id] = np.concatenate(feats).astype(np.float32)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     write_packed_store(out_path, items)
+
+
+def _clip_vision_flax_encoder(model, batch_size: int):
+    """(B, 3, H, W) preprocessed pixels -> (B, D) image features through the
+    jitted flax tower at a fixed batch shape (one compiled program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cone_tpu.models.clip import (ClipVisionTower,
+                                      clip_vision_state_dict_to_params,
+                                      vision_config_from_hf)
+
+    cfg = vision_config_from_hf(model.config)
+    params = clip_vision_state_dict_to_params(model.state_dict(),
+                                              cfg.num_layers)
+    tower = ClipVisionTower(cfg)
+    apply = jax.jit(lambda px: tower.apply({"params": params}, px))
+
+    def encode(pixels: np.ndarray) -> np.ndarray:
+        n = pixels.shape[0]
+        if n < batch_size:  # static batch: pad with repeated frames
+            pixels = np.concatenate(
+                [pixels, np.repeat(pixels[-1:], batch_size - n, 0)])
+        out = apply(jnp.asarray(pixels.transpose(0, 2, 3, 1)))  # NHWC
+        return np.asarray(out, np.float32)[:n]
+
+    return encode
