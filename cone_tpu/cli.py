@@ -279,7 +279,8 @@ def cmd_serve(args):
         from cone_tpu.serve.predictor import MomentPredictor
 
         pred = MomentPredictor(model, params, cfg, backend=args.text_backend,
-                               egovlp_checkpoint=args.egovlp_checkpoint)
+                               egovlp_checkpoint=args.egovlp_checkpoint,
+                               clip_engine=args.text_engine)
         encoder = pred.text_features
     service = MomentService(model, params, cfg, text_encoder=encoder,
                             dataset=ds)
@@ -479,6 +480,9 @@ def main(argv=None):
     s.add_argument("--preload_path",
                    help="jsonl whose videos preload into the corpus (uses"
                         " the workdir config's feature stores)")
+    s.add_argument("--text_engine", choices=["torch", "flax"],
+                   default="torch",
+                   help="clip text tower on host torch or the jax device")
     s.add_argument("--text_backend", choices=["clip", "egovlp"],
                    help="accept raw-text queries by encoding them host-side"
                         " (omit: requests must carry token/cls features)")

@@ -89,9 +89,11 @@ def extract_clip_text(jsonl_path: str, out_dir: str,
     _write_stores(out_dir, tokens, cls)
 
 
-def _clip_text_flax(model, tokenizer, rows, batch_size):
-    """Run the flax text tower over fixed-shape (batch, context_length)
-    buckets — one compiled program for the whole extraction."""
+def clip_text_flax_encoder(model, tokenizer, batch_size: int):
+    """texts -> (token feature list (stripped SOT/EOT), (N, D) cls) through
+    the jitted flax tower at fixed (batch, context_length) shapes — one
+    compiled program regardless of corpus size. Shared by offline
+    extraction and the serving predictor."""
     import jax
     import jax.numpy as jnp
 
@@ -107,24 +109,36 @@ def _clip_text_flax(model, tokenizer, rows, batch_size):
     # and its vendored CLIP masks causally only — padding cannot leak left
     apply = jax.jit(lambda ids, eot: tower.apply({"params": params}, ids, eot))
 
-    tokens, cls = {}, {}
-    for i in range(0, len(rows), batch_size):
-        chunk = rows[i : i + batch_size]
-        enc = tokenizer([q for _, q in chunk], padding="max_length",
-                        max_length=cfg.context_length, truncation=True,
-                        return_tensors="np")
-        ids = enc["input_ids"].astype(np.int32)
-        lengths = enc["attention_mask"].sum(1).astype(np.int32)
-        if len(chunk) < batch_size:  # static batch: pad with repeated rows
-            reps = batch_size - len(chunk)
-            ids = np.concatenate([ids, np.repeat(ids[-1:], reps, 0)])
-            lengths = np.concatenate([lengths, np.repeat(lengths[-1:], reps)])
-        toks, emb = apply(jnp.asarray(ids), jnp.asarray(lengths - 1))
-        toks, emb = np.asarray(toks, np.float32), np.asarray(emb, np.float32)
-        for j, (qid, _) in enumerate(chunk):
-            tokens[qid] = toks[j, 1 : lengths[j] - 1].copy()
-            cls[qid] = emb[j].copy()
-    return tokens, cls
+    def encode(texts):
+        out_tokens, out_cls = [], []
+        for i in range(0, len(texts), batch_size):
+            chunk = texts[i : i + batch_size]
+            enc = tokenizer(chunk, padding="max_length",
+                            max_length=cfg.context_length, truncation=True,
+                            return_tensors="np")
+            ids = enc["input_ids"].astype(np.int32)
+            lengths = enc["attention_mask"].sum(1).astype(np.int32)
+            if len(chunk) < batch_size:  # static batch: pad w/ repeated rows
+                reps = batch_size - len(chunk)
+                ids = np.concatenate([ids, np.repeat(ids[-1:], reps, 0)])
+                lengths = np.concatenate(
+                    [lengths, np.repeat(lengths[-1:], reps)])
+            toks, emb = apply(jnp.asarray(ids), jnp.asarray(lengths - 1))
+            toks = np.asarray(toks, np.float32)
+            emb = np.asarray(emb, np.float32)
+            for j in range(len(chunk)):
+                out_tokens.append(toks[j, 1 : lengths[j] - 1].copy())
+                out_cls.append(emb[j])
+        return out_tokens, np.stack(out_cls)
+
+    return encode
+
+
+def _clip_text_flax(model, tokenizer, rows, batch_size):
+    encode = clip_text_flax_encoder(model, tokenizer, batch_size)
+    toks, cls = encode([q for _, q in rows])
+    return ({qid: t for (qid, _), t in zip(rows, toks)},
+            {qid: c for (qid, _), c in zip(rows, cls)})
 
 
 def extract_roberta_text(jsonl_path: str, out_dir: str,

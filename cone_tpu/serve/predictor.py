@@ -6,8 +6,10 @@ features, localize with the batched pipeline.
 
 Two extraction backends:
 
-  * "clip" — HF CLIP towers, host torch (ffmpeg decode; weights must be
-    available locally — this box has no network).
+  * "clip" — CLIP towers; `clip_engine="torch"` runs HF torch on host,
+    `clip_engine="flax"` runs the parity-tested flax towers
+    (models/clip.py) on the accelerator, making the whole demo path
+    TPU-native (ffmpeg decode + tokenization stay on host).
   * "egovlp" — the reference demo's actual backbone
     (run_on_video/run.py:10-40, egovlp_extrator.py:99-150): video runs on
     the accelerator through the parity-tested flax EgoVlpVideoTower
@@ -40,16 +42,26 @@ class MomentPredictor:
                  egovlp_cfg=None,
                  egovlp_params=None,
                  text_model_name: str = "distilbert-base-uncased",
-                 frames_per_clip: int = 4):
+                 frames_per_clip: int = 4,
+                 clip_engine: str = "torch",
+                 clip_models: Optional[dict] = None):
         """backend="egovlp" extras: `egovlp_checkpoint` (released .pth —
         both towers' weights come from it) OR a ready `egovlp_params` tree
         with its `egovlp_cfg` (tests / pre-converted checkpoints). `fps` is
         the CLIP frame rate or the EgoVLP *clip* rate; EgoVLP decodes
         frames_per_clip frames per clip window like the reference
-        (egovlp_extrator.py:120-135)."""
+        (egovlp_extrator.py:120-135).
+
+        backend="clip" extras: `clip_engine` picks host torch vs the flax
+        towers on the jax device; `clip_models` injects preloaded
+        {"text", "tokenizer", "vision", "processor"} instances (tests /
+        pre-warmed servers)."""
         assert backend in ("clip", "egovlp"), backend
         self.cfg = cfg
         self.backend = backend
+        self.clip_engine = clip_engine
+        self._clip_models = clip_models or {}
+        self._vision_backend = None
         self.localizer = OnlineLocalizer(model, params, cfg)
         self.clip_model_name = clip_model_name
         self.fps = fps if fps is not None else 1.0 / cfg.data.clip_length
@@ -141,19 +153,37 @@ class MomentPredictor:
         from cone_tpu.extract.video import decode_frames
 
         import torch
-        from transformers import CLIPImageProcessor, CLIPVisionModelWithProjection
+
+        if self._vision_backend is None:
+            from transformers import (CLIPImageProcessor,
+                                      CLIPVisionModelWithProjection)
+
+            processor = self._clip_models.get(
+                "processor") or CLIPImageProcessor.from_pretrained(
+                self.clip_model_name)
+            vision = (self._clip_models.get("vision")
+                      or CLIPVisionModelWithProjection.from_pretrained(
+                          self.clip_model_name)).eval()
+            encode = None
+            if self.clip_engine == "flax":
+                from cone_tpu.extract.video import _clip_vision_flax_encoder
+
+                encode = _clip_vision_flax_encoder(vision, batch_size=64)
+            self._vision_backend = (processor, vision, encode)
+        processor, vision, encode = self._vision_backend
 
         frames = decode_frames(video_path, self.fps)
-        processor = CLIPImageProcessor.from_pretrained(self.clip_model_name)
-        vision = CLIPVisionModelWithProjection.from_pretrained(
-            self.clip_model_name
-        ).eval()
         feats = []
         with torch.no_grad():
             for i in range(0, len(frames), 64):
-                inputs = processor(images=list(frames[i : i + 64]),
-                                   return_tensors="pt")
-                feats.append(vision(**inputs).image_embeds.numpy())
+                batch = list(frames[i : i + 64])
+                if encode is not None:
+                    pix = processor(images=batch,
+                                    return_tensors="np")["pixel_values"]
+                    feats.append(encode(pix))
+                else:
+                    inputs = processor(images=batch, return_tensors="pt")
+                    feats.append(vision(**inputs).image_embeds.numpy())
         out = np.concatenate(feats).astype(np.float32)
         np.save(cache, out)
         return out
@@ -162,25 +192,35 @@ class MomentPredictor:
         if self.backend == "egovlp":
             return self._egovlp_text_features(query)
         import torch
-        from transformers import (CLIPTextModelWithProjection,
-                                  CLIPTokenizerFast)
 
         if self._text_backend is None:
-            self._text_backend = (
-                CLIPTokenizerFast.from_pretrained(self.clip_model_name),
-                CLIPTextModelWithProjection.from_pretrained(
-                    self.clip_model_name
-                ).eval(),
-            )
-        tokenizer, model = self._text_backend
+            from transformers import (CLIPTextModelWithProjection,
+                                      CLIPTokenizerFast)
+
+            tokenizer = self._clip_models.get(
+                "tokenizer") or CLIPTokenizerFast.from_pretrained(
+                self.clip_model_name)
+            model = (self._clip_models.get("text")
+                     or CLIPTextModelWithProjection.from_pretrained(
+                         self.clip_model_name)).eval()
+            encode = None
+            if self.clip_engine == "flax":
+                from cone_tpu.extract.text import clip_text_flax_encoder
+
+                encode = clip_text_flax_encoder(model, tokenizer,
+                                                batch_size=1)
+            self._text_backend = (tokenizer, model, encode)
+        tokenizer, model, encode = self._text_backend
+        if encode is not None:
+            toks, cls = encode([query])
+            return toks[0], cls[0]
         with torch.no_grad():
             enc = tokenizer([query], truncation=True, return_tensors="pt")
             out = model(**enc)
-            hidden = model.text_model.final_layer_norm(
-                model.text_model(**enc).last_hidden_state
-            )
+        # last_hidden_state is already final_layer_norm'd — the reference's
+        # single ln_final (feature_extraction/clip/model.py:346)
         n = int(enc["attention_mask"].sum())
-        tokens = hidden[0, 1 : n - 1].numpy()
+        tokens = out.last_hidden_state[0, 1 : n - 1].numpy()
         cls = out.text_embeds[0].numpy()
         return tokens, cls
 

@@ -256,3 +256,86 @@ def test_http_server_roundtrip(cfg, rng):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_clip_predictor_engines_match(cfg, tmp_path, monkeypatch):
+    """backend="clip": torch vs flax engines produce the same moments —
+    the demo path is TPU-native end-to-end with clip_engine="flax"."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from cone_tpu.serve.predictor import MomentPredictor
+
+    vcfg = transformers.CLIPVisionConfig(
+        hidden_size=DIM, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=16, patch_size=8,
+        projection_dim=DIM, hidden_act="quick_gelu",
+        attn_implementation="eager")
+    tcfg = transformers.CLIPTextConfig(
+        vocab_size=99, hidden_size=DIM, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=12, projection_dim=DIM,
+        hidden_act="quick_gelu", eos_token_id=98,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    clip_models = {
+        "vision": transformers.CLIPVisionModelWithProjection(vcfg).eval(),
+        "text": transformers.CLIPTextModelWithProjection(tcfg).eval(),
+        "processor": transformers.CLIPImageProcessor(
+            size={"shortest_edge": 16},
+            crop_size={"height": 16, "width": 16}),
+        "tokenizer": _tok_stub(),
+    }
+
+    rng_l = np.random.default_rng(7)
+    frames = rng_l.integers(0, 255, size=(120, 16, 16, 3), dtype=np.uint8)
+    monkeypatch.setattr("cone_tpu.extract.video.decode_frames",
+                        lambda path, fps, size=224: frames)
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    outs = {}
+    for engine in ("torch", "flax"):
+        pred = MomentPredictor(model, params, cfg, backend="clip",
+                               cache_dir=str(tmp_path / engine),
+                               clip_engine=engine, clip_models=clip_models)
+        outs[engine] = pred.localize_moment(
+            str(tmp_path / "vid.mp4"), "find the red cup on the table")
+    assert len(outs["torch"]) == len(outs["flax"]) >= 1
+    np.testing.assert_allclose(np.asarray(outs["flax"], np.float64),
+                               np.asarray(outs["torch"], np.float64),
+                               atol=2e-3)
+
+
+def _tok_stub():
+    class Tok:
+        model_max_length = 12
+
+        def __call__(self, texts, padding=True, max_length=None,
+                     truncation=True, return_tensors="np"):
+            import torch
+
+            cap = max_length or self.model_max_length
+            rows = []
+            for t in texts:
+                ids = [97] + [hash(w) % 96 + 1 for w in t.split()] + [98]
+                if truncation and len(ids) > cap:
+                    ids = ids[: cap - 1] + [98]
+                rows.append(ids)
+            width = cap if padding == "max_length" else max(map(len, rows))
+            ids = np.zeros((len(rows), width), np.int64)
+            attn = np.zeros_like(ids)
+            for i, r in enumerate(rows):
+                ids[i, : len(r)] = r
+                attn[i, : len(r)] = 1
+            out = {"input_ids": ids, "attention_mask": attn}
+            if return_tensors == "pt":
+                out = {k: torch.from_numpy(v) for k, v in out.items()}
+
+                class E(dict):
+                    def to(self, d):
+                        return self
+
+                return E(out)
+            return out
+
+    return Tok()
