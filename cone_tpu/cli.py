@@ -131,7 +131,11 @@ def cmd_infer(args):
                    host_postproc=not args.fast_postproc, fused=args.fused)
     for t in res["tables"].values():
         print(t)
-    out = os.path.join(args.workdir, f"inference_{args.ckpt}_preds.jsonl")
+    # --results_dir redirects all outputs away from the train workdir (the
+    # reference's --eval_results_dir, cone/config.py:233, :195-196)
+    out_dir = args.results_dir or args.workdir
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"inference_{args.ckpt}_preds.jsonl")
     save_jsonl(res["submissions"]["fusion"], out)
     print(f"wrote {out}")
     if args.save_all:
@@ -139,14 +143,14 @@ def cmd_infer(args):
         # cone/config.py:124 + inference.py:322-331 ablation outputs)
         for name in ("proposal", "matching"):
             if name in res["submissions"]:
-                p = os.path.join(args.workdir,
+                p = os.path.join(out_dir,
                                  f"inference_{args.ckpt}_{name}_preds.jsonl")
                 save_jsonl(res["submissions"][name], p)
                 print(f"wrote {p}")
     # coarse-stage ranklists, evaluable standalone via `cone_tpu eval
     # --ranklists` (the reference saves these for
     # evaluate_pre_filtered_window.py's file-driven CLI)
-    rank_out = os.path.join(args.workdir, f"inference_{args.ckpt}_windows.jsonl")
+    rank_out = os.path.join(out_dir, f"inference_{args.ckpt}_windows.jsonl")
     save_jsonl(
         [{"query_id": q, "ranklist": [int(w) for w in r]}
          for q, r in res["ranklists"].items()],
@@ -157,7 +161,7 @@ def cmd_infer(args):
     from cone_tpu.eval.submission import to_ego4d_challenge, write_submission
 
     sub_path = os.path.join(
-        args.workdir,
+        out_dir,
         f"submission_{cfg.data.dset_name}_{args.ckpt}."
         + ("json" if cfg.data.dset_name == "ego4d" else "jsonl"),
     )
@@ -465,6 +469,9 @@ def main(argv=None):
     i.add_argument("--fused", action="store_true",
                    help="single-dispatch fused inference (fastest; device"
                         " postproc, all three scoring modalities)")
+    i.add_argument("--results_dir",
+                   help="write predictions/submissions here instead of the"
+                        " workdir (reference --eval_results_dir)")
     i.add_argument("--save_all", action="store_true",
                    help="also write the proposal/matching modality"
                         " prediction files (reference --save_all)")
