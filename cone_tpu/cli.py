@@ -373,9 +373,12 @@ def cmd_convert_store(args):
     elif args.format == "npy_dir":
         for name in sorted(os.listdir(src)):
             if name.endswith(".npy"):
-                items[os.path.splitext(name)[0]] = np.load(
-                    os.path.join(src, name)
-                ).astype(np.float32)
+                arr = np.load(os.path.join(src, name)).astype(np.float32)
+                if arr.ndim == 1:
+                    # per-query cls vectors (the reference merge script's
+                    # cls .npy files are 1-D) -> one (1, D) row
+                    arr = arr[None]
+                items[os.path.splitext(name)[0]] = arr
     elif args.format == "pt_dir":
         import torch  # optional
 
