@@ -38,6 +38,11 @@ class ModelConfig:
     # Compute dtype for the transformer ("float32" | "bfloat16"); params are
     # always float32.
     compute_dtype: str = "float32"
+    # Pad the encoder sequence (vid + txt) to a multiple of this — sublane
+    # alignment. Masked padding changes nothing numerically; measured +20%
+    # on the attention core at ego4d L=110 -> 112, net-negative at MAD
+    # L=145 -> 160 (docs/RESULTS.md round 3). 1 = off.
+    seq_pad_multiple: int = 1
 
 
 @dataclass(frozen=True)
@@ -241,6 +246,10 @@ class ConeConfig:
 def ego4d_config() -> ConeConfig:
     """Canonical Ego4D-NLQ EgoVLP config (cone/scripts/train_ego4d.sh:19-36)."""
     return ConeConfig(
+        # seq_pad_multiple: window 90 + query 20 = 110 pads to 112 (bf16
+        # sublane multiple) — the attention core runs ~20% faster with
+        # bit-identical valid outputs (docs/RESULTS.md round 3)
+        model=ModelConfig(seq_pad_multiple=16),
         data=DataConfig(
             dset_name="ego4d", max_v_l=90, clip_length=0.535, topk_window=20,
             max_ctx_l=2304,
