@@ -46,7 +46,10 @@ def main():
     cfg = ConeConfig(
         model=ModelConfig(t_feat_dim=dim, v_motion_feat_dim=dim,
                           v_appear_feat_dim=dim, max_v_l=90, max_q_l=20,
-                          compute_dtype="bfloat16"),
+                          compute_dtype="bfloat16",
+                          # sublane-aligned sequence (110 -> 112): +4.8% on
+                          # the fine forward, bitwise-identical (RESULTS.md)
+                          seq_pad_multiple=16),
         data=DataConfig(max_v_l=90, max_q_l=20, clip_length=0.535,
                         topk_window=20, max_ctx_l=2304),
         eval=EvalConfig(nms_thd=0.5, max_after_nms=5, query_chunk=32,
