@@ -266,7 +266,11 @@ def ego4d_scratch_config() -> ConeConfig:
     checkpoints need nheads=8, so the plain preset keeps the reference
     geometry and this one encodes the faster choice for new models."""
     cfg = ego4d_config()
-    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=4))
+    # seq_pad_multiple=1: at nheads=4 the padded sequence measured SLOWER
+    # (5.88 -> 6.17 ms) — the L=112 tiling win exists only where attention
+    # tiling dominates (d_head 32 and 128); see tools/bench_seqpad.py
+    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=4,
+                                                 seq_pad_multiple=1))
 
 
 def mad_scratch_config() -> ConeConfig:
@@ -278,7 +282,12 @@ def mad_scratch_config() -> ConeConfig:
     ego4d_scratch keeps 4). Converted reference checkpoints need
     nheads=8, so the plain preset keeps the reference geometry."""
     cfg = mad_config()
-    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=2))
+    # seq_pad_multiple=16: at d_head=128 the sublane-aligned sequence
+    # (145 -> 160) is a further +23% on the fine forward (15.04 ->
+    # 12.20 ms, tools/bench_seqpad.py) — unlike the nheads=8 reference
+    # geometry where it is a wash (so mad_config keeps 1)
+    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=2,
+                                                 seq_pad_multiple=16))
 
 
 def tan_ego4d_config() -> ConeConfig:

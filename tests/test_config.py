@@ -12,14 +12,18 @@ from cone_tpu.config import (
 )
 
 
-def test_scratch_preset_differs_only_in_nheads():
+def test_scratch_preset_differs_only_in_geometry():
     """ego4d_scratch = ego4d with nheads=4 (d_head 64: measured 18% faster
-    fine forward at identical parameter count, docs/RESULTS.md). Everything
-    else must stay reference-canonical."""
+    fine forward at identical parameter count, docs/RESULTS.md) and
+    seq_pad_multiple=1 (padding measured slower at d_head 64 —
+    tools/bench_seqpad.py). Everything else must stay reference-canonical."""
     base, scratch = ego4d_config(), ego4d_scratch_config()
     assert scratch.model.nheads == 4 and base.model.nheads == 8
+    assert base.model.seq_pad_multiple == 16
+    assert scratch.model.seq_pad_multiple == 1
     assert scratch.replace(
-        model=dataclasses.replace(scratch.model, nheads=8)) == base
+        model=dataclasses.replace(scratch.model, nheads=8,
+                                  seq_pad_multiple=16)) == base
 
 
 def test_eval_modality_clip_round_trips():
@@ -50,13 +54,17 @@ def test_mad_presets_geometry():
     assert tan_mad.eval.max_before_nms == 200
 
 
-def test_mad_scratch_preset_differs_only_in_nheads():
-    """mad_scratch = mad with nheads=2 (d_head 128, one MXU lane; measured
-    921 -> 1008 -> 1084 q/s device for nheads 8 -> 4 -> 2 at full MAD
-    serving scale, identical params — docs/RESULTS.md round 3)."""
+def test_mad_scratch_preset_differs_only_in_geometry():
+    """mad_scratch = mad with nheads=2 (d_head 128, one MXU lane) and the
+    sublane-aligned sequence (seq_pad_multiple=16): measured 960 -> 1362
+    q/s device at full MAD serving scale, identical params —
+    docs/RESULTS.md round 3 / tools/bench_seqpad.py."""
     from cone_tpu.config import mad_scratch_config
 
     base, scratch = mad_config(), mad_scratch_config()
     assert scratch.model.nheads == 2 and base.model.nheads == 8
+    assert scratch.model.seq_pad_multiple == 16
+    assert base.model.seq_pad_multiple == 1
     assert scratch.replace(
-        model=dataclasses.replace(scratch.model, nheads=8)) == base
+        model=dataclasses.replace(scratch.model, nheads=8,
+                                  seq_pad_multiple=1)) == base

@@ -114,6 +114,20 @@ def main():
     res_f32 = sum(v.nbytes for c in ds.video_ids
                   for v in pipe._device_video(c)[:2]) / 1e6
 
+    # mad_scratch geometry in the same process (nheads=2 + sublane-aligned
+    # sequence, config.py mad_scratch_config): the from-scratch serving
+    # number that stacks the two measured geometry wins
+    cfg_s = cfg.replace(model=dc.replace(cfg.model, nheads=2,
+                                         seq_pad_multiple=16))
+    model_s, params_s = build_model_and_params(cfg_s.model, seed=0)
+    pipe_s = InferencePipeline(model_s, params_s, ds, cfg_s)
+    dev_s, pass_s = device_time_fused(pipe_s, n_queries, repeats=3)
+    print(f"mad_scratch geometry (nheads=2 + seqpad): {pass_s * 1e3:.1f}"
+          f" ms/pass -> {1 / dev_s:.2f} q/s"
+          f" (x{dev_s_per_q / dev_s:.2f} vs reference geometry)",
+          file=sys.stderr)
+    del pipe_s
+
     import json
 
     print(json.dumps({
@@ -122,6 +136,7 @@ def main():
         "unbucketed_device_qps": round(1 / dev_nb, 2),
         "corpus_resident_mb_f32": round(res_f32, 1),
         "corpus_quant": quant,
+        "scratch_geometry_device_qps": round(1 / dev_s, 2),
         **perf,
     }))
 
