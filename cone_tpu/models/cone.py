@@ -196,14 +196,15 @@ class ConeModel(nn.Module):
             pos_txt = jnp.zeros_like(txt)
         pos = jnp.concatenate([pos_vid, pos_txt], axis=1)
 
-        if c.seq_pad_multiple > 1:
+        if c.seq_pad_multiple > 1 and deterministic:
             # pad the encoder sequence to a sublane-friendly length: on v5e
             # the attention core at L=110 (ego4d window 90 + query 20) runs
             # ~20% SLOWER than at L=112 (bf16 sublane multiple 16) — masked
             # positions contribute exactly zero, so valid outputs are
-            # unchanged (tools-measured; tests/test_model_parity.py pins
-            # equality). MAD's L=145 -> 160 measured net-negative, so the
-            # mad presets keep this at 1.
+            # unchanged (tools/bench_seqpad.py matrix; tests/
+            # test_model_parity.py pins equality). Inference-only
+            # (deterministic is static at trace time): the train step's
+            # backward measured a slight net loss from the extra positions.
             extra = (-src.shape[1]) % c.seq_pad_multiple
             if extra:
                 pad3 = ((0, 0), (0, extra), (0, 0))
