@@ -587,12 +587,14 @@ def main(argv=None):
     if args.cmd in ("train", "infer", "serve") and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
         import jax
 
-        # namespace the default cache by backend: a shared dir would hand
-        # TPU-compiled executables to CPU processes (and vice versa)
+        # namespace the default cache by backend AND host machine: a shared
+        # dir would hand TPU-compiled executables to CPU processes, and
+        # XLA:CPU AOT entries from a host with different vector features
+        # can SIGILL (utils/cache.py)
+        from cone_tpu.utils.cache import jax_cache_dir
+
         cache = os.environ.get(
-            "CONE_TPU_JAX_CACHE",
-            f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}",
-        )
+            "CONE_TPU_JAX_CACHE", jax_cache_dir(jax.default_backend()))
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args.fn(args)

@@ -263,9 +263,11 @@ def test_cli_train_infer_roundtrip(tmp_path):
         })
     ).save(str(cfg_path))
 
+    from cone_tpu.utils.cache import jax_cache_dir
+
     env = dict(
         os.environ, JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/cone_tpu_jax_cache_cpu",
+        JAX_COMPILATION_CACHE_DIR=jax_cache_dir("cpu"),
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
     )
     workdir = str(tmp_path / "run")

@@ -30,9 +30,11 @@ def dist_outputs(tmp_path_factory):
     workdir = str(tmp_path_factory.mktemp("distrun"))
     out_prefix = os.path.join(workdir, "out")
     port = _free_port()
+    from cone_tpu.utils.cache import jax_cache_dir
+
     env = dict(
         os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=root,
-        JAX_COMPILATION_CACHE_DIR="/tmp/cone_tpu_jax_cache_cpu",
+        JAX_COMPILATION_CACHE_DIR=jax_cache_dir("cpu"),
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
     )
     env.pop("XLA_FLAGS", None)  # workers set their own device counts

@@ -48,8 +48,10 @@ def main():
 
     from cone_tpu.utils.perf import sync_latency, tunnel_sync
 
+    from cone_tpu.utils.cache import jax_cache_dir
+
     jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}")
+                      jax_cache_dir(jax.default_backend()))
     NEG_INF = float(jnp.finfo(jnp.float32).min)
 
     def attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, nheads):

@@ -46,8 +46,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cone_tpu.utils.cache import jax_cache_dir
+
     jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}")
+                      jax_cache_dir(jax.default_backend()))
     from cone_tpu.models.clip import (ClipTextConfig, ClipTextTower,
                                       ClipVisionConfig, ClipVisionTower)
     from cone_tpu.utils.perf import sync_latency, tunnel_sync

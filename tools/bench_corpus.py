@@ -21,8 +21,10 @@ def main():
     n_movies = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     import jax
 
+    from cone_tpu.utils.cache import jax_cache_dir
+
     jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}")
+                      jax_cache_dir(jax.default_backend()))
 
     import dataclasses as dc
 

@@ -65,8 +65,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cone_tpu.utils.cache import jax_cache_dir
+
     jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}")
+                      jax_cache_dir(jax.default_backend()))
 
     from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig
     from cone_tpu.data import make_synthetic_dataset

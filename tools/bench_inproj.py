@@ -28,8 +28,10 @@ def main():
     import jax.numpy as jnp
     import flax.linen as nn
 
+    from cone_tpu.utils.cache import jax_cache_dir
+
     jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}")
+                      jax_cache_dir(jax.default_backend()))
 
     from cone_tpu.config import ModelConfig
     from cone_tpu.models import transformer

@@ -36,8 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cone_tpu.utils.cache import jax_cache_dir
+
     jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}")
+                      jax_cache_dir(jax.default_backend()))
     from cone_tpu.config import ModelConfig
     from cone_tpu.models.init import build_model_and_params
     from tools.bench_fine_breakdown import chain_time

@@ -15,8 +15,10 @@ import numpy as np
 def main(compute_dtype="float32"):
     import jax
 
+    from cone_tpu.utils.cache import jax_cache_dir
+
     jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/cone_tpu_jax_cache_{jax.default_backend()}")
+                      jax_cache_dir(jax.default_backend()))
 
     from cone_tpu.config import ConeConfig, DataConfig, ModelConfig, TrainConfig
     from cone_tpu.data import make_synthetic_dataset
