@@ -312,10 +312,10 @@ def cmd_reformat(args):
 
 
 def cmd_extract_video(args):
-    """Video files -> one packed .cfs of CLIP clip features (the
-    reference's feature_extraction/clip_extractor.py CLI surface)."""
-    from cone_tpu.extract.video import extract_clip_video
-
+    """Video files -> one packed .cfs of clip features. backend=clip is
+    the reference's feature_extraction/clip_extractor.py CLI surface;
+    backend=egovlp runs the flax EgoVLP tower on the jax device (the
+    reference extracts EgoVLP on GPU, run_on_video/egovlp_extrator.py)."""
     videos = {}
     for spec in args.videos:
         if "=" in spec:
@@ -323,10 +323,21 @@ def cmd_extract_video(args):
         else:
             clip_id, path = os.path.splitext(os.path.basename(spec))[0], spec
         videos[clip_id] = path
-    extract_clip_video(videos, args.out,
-                       model_name=args.model or "openai/clip-vit-base-patch32",
-                       fps=args.fps, batch_size=args.batch_size,
-                       device=args.device, engine=args.engine)
+    if args.backend == "egovlp":
+        from cone_tpu.extract.egovlp_video import extract_egovlp_video
+
+        assert args.checkpoint, "--checkpoint required for backend=egovlp"
+        extract_egovlp_video(videos, args.out, args.checkpoint,
+                             fps=args.fps if args.fps != 5.0 else 1.875,
+                             clip_batch=min(args.batch_size, 8))
+    else:
+        from cone_tpu.extract.video import extract_clip_video
+
+        extract_clip_video(
+            videos, args.out,
+            model_name=args.model or "openai/clip-vit-base-patch32",
+            fps=args.fps, batch_size=args.batch_size,
+            device=args.device, engine=args.engine)
     print(f"wrote {len(videos)} video feature rows to {args.out}")
 
 
@@ -562,6 +573,10 @@ def main(argv=None):
     ev.add_argument("--videos", required=True, nargs="+",
                     help="clip_id=path pairs, or bare paths (id = basename)")
     ev.add_argument("--out", required=True, help="output .cfs path")
+    ev.add_argument("--backend", choices=["clip", "egovlp"], default="clip")
+    ev.add_argument("--checkpoint",
+                    help="EgoVLP .pth (backend=egovlp; frame rate defaults"
+                         " to 1.875 unless --fps is set explicitly)")
     ev.add_argument("--model")
     ev.add_argument("--fps", type=float, default=5.0,
                     help="5 for MAD-style CLIP features (train_mad.sh)")
