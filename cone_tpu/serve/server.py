@@ -13,6 +13,8 @@ Endpoints (all JSON):
   POST /add_video  {"clip_id", "features": [[...]], "motion_features"?}
   POST /search     {"token_features", "cls_feature", "query"?,
                     "top_moments"?, "search_windows"?}   -> corpus ranking
+  POST /search_batch {"queries": [...per-query dicts...],
+                    "top_moments"?, "search_windows"?}   -> batched ranking
   POST /localize   {"video_features", "token_features", "cls_feature",
                     "query"?, "top_k"?}                  -> one-video moments
 `token_features`/`cls_feature` may be omitted when the service was built
@@ -116,6 +118,31 @@ class MomentService:
             m["span"] = [float(m["span"][0]), float(m["span"][1])]
         return {"moments": moments}
 
+    def search_batch(self, payload: dict) -> dict:
+        """Batched corpus search: {"queries": [{"token_features",
+        "cls_feature"} | {"query"}...], "top_moments"?, "search_windows"?}.
+        All queries share the per-bucket coarse scans and the fine stage
+        batches per movie — the throughput surface for bulk clients
+        (one device program sweep instead of one per request)."""
+        rows = payload["queries"]
+        toks, clss = [], []
+        for row in rows:
+            tok, cls = self._text(row)
+            toks.append(tok)
+            clss.append(cls)
+        with self._device_lock:
+            results = self._timed(
+                "search_batch",
+                lambda: self.retriever.search_batch(
+                    toks, np.stack(clss),
+                    queries=[r.get("query", "") for r in rows],
+                    search_windows=payload.get("search_windows"),
+                    top_moments=int(payload.get("top_moments", 10))))
+        for moments in results:
+            for m in moments:
+                m["span"] = [float(m["span"][0]), float(m["span"][1])]
+        return {"results": [{"moments": m} for m in results]}
+
     def localize(self, payload: dict) -> dict:
         tok, cls = self._text(payload)
         vid = np.asarray(payload["video_features"], np.float32)
@@ -136,6 +163,8 @@ class MomentService:
                 return 200, self.add_video(payload)
             if method == "POST" and path == "/search":
                 return 200, self.search(payload)
+            if method == "POST" and path == "/search_batch":
+                return 200, self.search_batch(payload)
             if method == "POST" and path == "/localize":
                 return 200, self.localize(payload)
             return 404, {"error": f"no route {method} {path}"}

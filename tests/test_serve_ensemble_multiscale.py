@@ -240,11 +240,27 @@ def test_http_server_roundtrip(cfg, rng):
         })
         assert status == 200 and 1 <= len(body["moments"]) <= 3
 
+        # batched search: same planted query twice + a random one, one
+        # device sweep; row 0 must reproduce the single /search result
+        tok2 = rng.normal(size=(4, DIM)).astype(np.float32)
+        cls2 = rng.normal(size=(DIM,)).astype(np.float32)
+        status, body = post("/search_batch", {
+            "queries": [
+                {"token_features": tok.tolist(), "cls_feature": cls.tolist()},
+                {"token_features": tok2.tolist(),
+                 "cls_feature": cls2.tolist()},
+            ],
+            "top_moments": 5,
+        })
+        assert status == 200 and len(body["results"]) == 2
+        batch0 = body["results"][0]["moments"]
+        assert [m["span"] for m in batch0] == [m["span"] for m in moments]
+
         status, stats = get("/stats")
         assert status == 200
         assert stats["videos"] == 2 and stats["total_clips"] == 300
         assert stats["requests"] == {"add_video": 2, "search": 1,
-                                     "localize": 1}
+                                     "localize": 1, "search_batch": 1}
         assert all(v >= 0 for v in stats["mean_latency_s"].values())
 
         # errors: bad route, missing fields, no text encoder
