@@ -18,7 +18,10 @@ Endpoints (all JSON):
   POST /localize   {"video_features", "token_features", "cls_feature",
                     "query"?, "top_k"?}                  -> one-video moments
 `token_features`/`cls_feature` may be omitted when the service was built
-with a text encoder (then pass "query" text alone).
+with a text encoder (then pass "query" text alone). Bulk clients should
+send features binary: `token_features_b64` (base64 LE float32) +
+`token_shape` [Lq, Dt] + `cls_feature_b64` — decimal-text JSON measured
+slower than the retrieval itself at 64-query batches.
 
 No third-party server dependency: stdlib http.server is enough because the
 device lock serializes the hot path anyway; front-line TLS/auth belongs on
@@ -61,6 +64,20 @@ class MomentService:
     # ------------------------------------------------------------ helpers
 
     def _text(self, payload) -> Tuple[np.ndarray, np.ndarray]:
+        if "token_features_b64" in payload:
+            # binary features: base64 little-endian float32, row-major.
+            # Decimal-text JSON costs ~4x the bytes and dominates bulk
+            # requests (measured: 64 MAD queries = 11 MB JSON, encode+decode
+            # slower than the retrieval itself — docs/RESULTS.md).
+            import base64
+
+            tok = np.frombuffer(
+                base64.b64decode(payload["token_features_b64"]), "<f4",
+            ).reshape(payload["token_shape"]).astype(np.float32)
+            cls = np.frombuffer(
+                base64.b64decode(payload["cls_feature_b64"]), "<f4",
+            ).astype(np.float32)
+            return tok, cls
         if "token_features" in payload and "cls_feature" in payload:
             return (np.asarray(payload["token_features"], np.float32),
                     np.asarray(payload["cls_feature"], np.float32))

@@ -240,13 +240,20 @@ def test_http_server_roundtrip(cfg, rng):
         })
         assert status == 200 and 1 <= len(body["moments"]) <= 3
 
-        # batched search: same planted query twice + a random one, one
-        # device sweep; row 0 must reproduce the single /search result
+        # batched search: the planted query (sent BINARY: b64 float32) + a
+        # random one, one device sweep; row 0 must reproduce the single
+        # /search result exactly
+        import base64
+
         tok2 = rng.normal(size=(4, DIM)).astype(np.float32)
         cls2 = rng.normal(size=(DIM,)).astype(np.float32)
         status, body = post("/search_batch", {
             "queries": [
-                {"token_features": tok.tolist(), "cls_feature": cls.tolist()},
+                {"token_features_b64":
+                     base64.b64encode(tok.astype("<f4").tobytes()).decode(),
+                 "token_shape": list(tok.shape),
+                 "cls_feature_b64":
+                     base64.b64encode(cls.astype("<f4").tobytes()).decode()},
                 {"token_features": tok2.tolist(),
                  "cls_feature": cls2.tolist()},
             ],
