@@ -322,21 +322,29 @@ def cmd_extract_video(args):
             clip_id, path = spec.split("=", 1)
         else:
             clip_id, path = os.path.splitext(os.path.basename(spec))[0], spec
+        if clip_id in videos:
+            raise SystemExit(
+                f"duplicate clip_id {clip_id!r} ({videos[clip_id]} vs {path})"
+                " — disambiguate with explicit clip_id=path specs")
         videos[clip_id] = path
     if args.backend == "egovlp":
         from cone_tpu.extract.egovlp_video import extract_egovlp_video
 
         assert args.checkpoint, "--checkpoint required for backend=egovlp"
         extract_egovlp_video(videos, args.out, args.checkpoint,
-                             fps=args.fps if args.fps != 5.0 else 1.875,
-                             clip_batch=min(args.batch_size, 8))
+                             fps=args.fps if args.fps is not None else 1.875,
+                             clip_batch=(args.batch_size
+                                         if args.batch_size is not None
+                                         else 8))
     else:
         from cone_tpu.extract.video import extract_clip_video
 
         extract_clip_video(
             videos, args.out,
             model_name=args.model or "openai/clip-vit-base-patch32",
-            fps=args.fps, batch_size=args.batch_size,
+            fps=args.fps if args.fps is not None else 5.0,
+            batch_size=(args.batch_size
+                        if args.batch_size is not None else 64),
             device=args.device, engine=args.engine)
     print(f"wrote {len(videos)} video feature rows to {args.out}")
 
@@ -578,9 +586,12 @@ def main(argv=None):
                     help="EgoVLP .pth (backend=egovlp; frame rate defaults"
                          " to 1.875 unless --fps is set explicitly)")
     ev.add_argument("--model")
-    ev.add_argument("--fps", type=float, default=5.0,
-                    help="5 for MAD-style CLIP features (train_mad.sh)")
-    ev.add_argument("--batch_size", type=int, default=64)
+    ev.add_argument("--fps", type=float,
+                    help="default: 5 for clip (MAD-style, train_mad.sh),"
+                         " 1.875 frames/s for egovlp")
+    ev.add_argument("--batch_size", type=int,
+                    help="default: 64 frames (clip) / 8 clips (egovlp —"
+                         " larger batches thrash HBM, docs/RESULTS.md)")
     ev.add_argument("--device", default="cpu")
     ev.add_argument("--engine", choices=["torch", "flax"], default="torch",
                     help="flax = run the CLIP tower on the jax device (TPU)")
@@ -599,7 +610,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
-    if args.cmd in ("train", "infer", "serve") and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    if (args.cmd in ("train", "infer", "serve", "extract-video",
+                     "extract-text")
+            and "JAX_COMPILATION_CACHE_DIR" not in os.environ):
         import jax
 
         # namespace the default cache by backend AND host machine: a shared

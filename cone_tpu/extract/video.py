@@ -65,7 +65,7 @@ def extract_clip_video(
     model = (_model or
              CLIPVisionModelWithProjection.from_pretrained(model_name)).eval()
 
-    encode = (_clip_vision_flax_encoder(model, batch_size)
+    encode = (clip_vision_flax_encoder(model, batch_size)
               if engine == "flax" else None)
     if encode is None:
         model = model.to(device)
@@ -90,7 +90,7 @@ def extract_clip_video(
     write_packed_store(out_path, items)
 
 
-def _clip_vision_flax_encoder(model, batch_size: int):
+def clip_vision_flax_encoder(model, batch_size: int):
     """(B, 3, H, W) preprocessed pixels -> (B, D) image features through the
     jitted flax tower at a fixed batch shape (one compiled program)."""
     import jax

@@ -81,7 +81,11 @@ class MomentPredictor:
     # ---- feature extraction (host, torch) ------------------------------
 
     def _video_cache_path(self, video_path: str) -> str:
-        tag = (self.clip_model_name if self.backend == "clip"
+        # clip_engine is part of the key: torch and flax towers agree only
+        # to ~2e-3, so serving one engine the other's cached features would
+        # silently defeat exactness comparisons
+        tag = (f"{self.clip_model_name}:{self.clip_engine}"
+               if self.backend == "clip"
                else f"egovlp:{self.egovlp_checkpoint}")
         key = hashlib.sha1(
             f"{os.path.abspath(video_path)}:{tag}:{self.fps}".encode()
@@ -166,9 +170,9 @@ class MomentPredictor:
                           self.clip_model_name)).eval()
             encode = None
             if self.clip_engine == "flax":
-                from cone_tpu.extract.video import _clip_vision_flax_encoder
+                from cone_tpu.extract.video import clip_vision_flax_encoder
 
-                encode = _clip_vision_flax_encoder(vision, batch_size=64)
+                encode = clip_vision_flax_encoder(vision, batch_size=64)
             self._vision_backend = (processor, vision, encode)
         processor, vision, encode = self._vision_backend
 

@@ -185,7 +185,9 @@ class MomentService:
             if method == "POST" and path == "/localize":
                 return 200, self.localize(payload)
             return 404, {"error": f"no route {method} {path}"}
-        except (KeyError, AssertionError, ValueError) as e:
+        except (KeyError, AssertionError, ValueError, TypeError) as e:
+            # TypeError covers malformed binary fields (non-string b64,
+            # non-list token_shape) — same 400 as other bad payloads
             return 400, {"error": f"{type(e).__name__}: {e}"}
 
 

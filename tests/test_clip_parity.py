@@ -116,40 +116,6 @@ def test_text_tower_padding_invariance(hf_text):
                                np.asarray(cls_exact), atol=1e-5)
 
 
-class _FakeClipTokenizer:
-    """Minimal CLIP-shaped tokenizer: bos + word-hash ids + eos, pad=0."""
-
-    def __init__(self, vocab=97, bos=97, eos=98, model_max_length=12):
-        self.vocab, self.bos, self.eos = vocab, bos, eos
-        self.model_max_length = model_max_length
-
-    def __call__(self, texts, padding=True, max_length=None, truncation=True,
-                 return_tensors="np"):
-        cap = max_length or self.model_max_length
-        rows = []
-        for t in texts:
-            ids = [self.bos] + [hash(w) % 96 + 1 for w in t.split()] + [self.eos]
-            if truncation and len(ids) > cap:
-                ids = ids[: cap - 1] + [self.eos]
-            rows.append(ids)
-        width = max_length if padding == "max_length" else max(map(len, rows))
-        ids = np.zeros((len(rows), width), np.int64)
-        attn = np.zeros((len(rows), width), np.int64)
-        for i, r in enumerate(rows):
-            ids[i, : len(r)] = r
-            attn[i, : len(r)] = 1
-        out = {"input_ids": ids, "attention_mask": attn}
-        if return_tensors == "pt":
-            out = {k: torch.from_numpy(v) for k, v in out.items()}
-
-            class _Enc(dict):
-                def to(self, device):
-                    return self
-
-            return _Enc(out)
-        return out
-
-
 def test_extract_text_engines_match(hf_text, tmp_path):
     """extract_clip_text torch vs flax engines write identical stores."""
     from cone_tpu.data.store import PackedArrayStore
@@ -163,7 +129,9 @@ def test_extract_text_engines_match(hf_text, tmp_path):
          enumerate(["wash the pepper", "open door", "a much longer query "
                     "about finding the red toolbox in the garage shelf"])],
         str(jsonl))
-    tok = _FakeClipTokenizer()
+    from tests.clip_testing import FakeClipTokenizer
+
+    tok = FakeClipTokenizer()
     extract_clip_text(str(jsonl), str(tmp_path / "torch"), engine="torch",
                       batch_size=2, _model=model, _tokenizer=tok)
     extract_clip_text(str(jsonl), str(tmp_path / "flax"), engine="flax",

@@ -288,6 +288,7 @@ def test_clip_predictor_engines_match(cfg, tmp_path, monkeypatch):
     transformers = pytest.importorskip("transformers")
 
     from cone_tpu.serve.predictor import MomentPredictor
+    from tests.clip_testing import FakeClipTokenizer
 
     vcfg = transformers.CLIPVisionConfig(
         hidden_size=DIM, intermediate_size=64, num_hidden_layers=2,
@@ -307,7 +308,7 @@ def test_clip_predictor_engines_match(cfg, tmp_path, monkeypatch):
         "processor": transformers.CLIPImageProcessor(
             size={"shortest_edge": 16},
             crop_size={"height": 16, "width": 16}),
-        "tokenizer": _tok_stub(),
+        "tokenizer": FakeClipTokenizer(),
     }
 
     rng_l = np.random.default_rng(7)
@@ -327,38 +328,3 @@ def test_clip_predictor_engines_match(cfg, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(outs["flax"], np.float64),
                                np.asarray(outs["torch"], np.float64),
                                atol=2e-3)
-
-
-def _tok_stub():
-    class Tok:
-        model_max_length = 12
-
-        def __call__(self, texts, padding=True, max_length=None,
-                     truncation=True, return_tensors="np"):
-            import torch
-
-            cap = max_length or self.model_max_length
-            rows = []
-            for t in texts:
-                ids = [97] + [hash(w) % 96 + 1 for w in t.split()] + [98]
-                if truncation and len(ids) > cap:
-                    ids = ids[: cap - 1] + [98]
-                rows.append(ids)
-            width = cap if padding == "max_length" else max(map(len, rows))
-            ids = np.zeros((len(rows), width), np.int64)
-            attn = np.zeros_like(ids)
-            for i, r in enumerate(rows):
-                ids[i, : len(r)] = r
-                attn[i, : len(r)] = 1
-            out = {"input_ids": ids, "attention_mask": attn}
-            if return_tensors == "pt":
-                out = {k: torch.from_numpy(v) for k, v in out.items()}
-
-                class E(dict):
-                    def to(self, d):
-                        return self
-
-                return E(out)
-            return out
-
-    return Tok()
