@@ -81,8 +81,21 @@ def cmd_train(args):
         from cone_tpu.parallel.distributed import initialize
 
         # TPU pods: no args (auto-detected topology). CPU clusters/tests:
-        # explicit coordinator + layout.
+        # explicit coordinator + layout. Must run before ANY jax call that
+        # initializes the XLA backend — main() skips the compilation-cache
+        # setup for --distributed so it can happen here, after initialize.
         initialize(args.coordinator, args.num_processes, args.process_id)
+        if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+            import jax
+
+            from cone_tpu.utils.cache import jax_cache_dir
+
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("CONE_TPU_JAX_CACHE",
+                               jax_cache_dir(jax.default_backend())))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = _load_cfg(args)
     if args.debug:
@@ -106,6 +119,11 @@ def cmd_train(args):
     if cfg.data.train_data_ratio != 1.0:
         # train-split-only downsample (the reference's --train_data_ratio,
         # cone/config.py:29-32; data_ratio applies to every split)
+        if eval_ds is train_ds:  # --synthetic aliases the splits; keep the
+            import copy          # eval split full when truncating train
+
+            eval_ds = copy.copy(train_ds)
+            eval_ds.examples = list(train_ds.examples)
         n = int(len(train_ds.examples) * cfg.data.train_data_ratio)
         train_ds.examples = train_ds.examples[:n]
         print(f"train_data_ratio={cfg.data.train_data_ratio}: {n} train samples")
@@ -184,6 +202,8 @@ def cmd_eval(args):
     of the reference's standalone_eval CLIs (evaluate_ego4d_nlq.py:140-171,
     evaluate_mad.py:119-150): compute recall tables from files alone, no
     model or features needed."""
+    if not args.ranklists and not args.submission:
+        raise SystemExit("--submission is required (unless --ranklists)")
     from cone_tpu.eval.metrics import (
         display_ego4d_results, display_recall_table, evaluate_ego4d_nlq,
         evaluate_recall_table, mean_first_iou,
@@ -520,9 +540,10 @@ def main(argv=None):
 
     v = sub.add_parser("eval", help="recall tables from submission files"
                                     " (standalone, no model)")
-    v.add_argument("--submission", required=True,
+    v.add_argument("--submission",
                    help="prediction jsonl (flat) or challenge json (ego4d"
-                        " official, with --ego4d_gt)")
+                        " official, with --ego4d_gt); not used in"
+                        " --ranklists mode")
     v.add_argument("--gt", help="flat GT jsonl (query_id + timestamps)")
     v.add_argument("--ego4d_gt", help="official nested Ego4D GT json")
     v.add_argument("--dset", choices=["ego4d", "mad"], default="ego4d",
@@ -612,7 +633,11 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
     if (args.cmd in ("train", "infer", "serve", "extract-video",
                      "extract-text")
+            and not getattr(args, "distributed", False)
             and "JAX_COMPILATION_CACHE_DIR" not in os.environ):
+        # --distributed defers this to cmd_train: jax.default_backend()
+        # initializes the XLA backend, and jax.distributed.initialize()
+        # hard-fails once that has happened
         import jax
 
         # namespace the default cache by backend AND host machine: a shared

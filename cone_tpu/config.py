@@ -340,10 +340,13 @@ def mad_config() -> ConeConfig:
         # bucketed padding: a standard 2 h @ 5 fps movie (~36k clips) pads to
         # 36864 instead of 65536 — ~1.8x less coarse-stage compute/HBM.
         # fused_train_eval: at MAD scale a training-loop eval pushes 300
-        # candidates/query through host Python; the fused device path is
-        # bit-identical (tests/test_nms_device_parity.py TAN-MAD geometry,
-        # test_train_loop.py fused==host), so the preset keeps eval epochs
-        # on the chip.
+        # candidates/query through host Python; the fused device path
+        # matches host postproc on every tested geometry incl. TAN-MAD
+        # (tests/test_nms_device_parity.py, test_train_loop.py
+        # fused==host) — the one known residual is the 4-dp rounding
+        # decision within ~6e-4 of an exact .5 boundary (fp32 on device vs
+        # decimal on host; eval/pipeline.py r4) — so the preset keeps eval
+        # epochs on the chip.
         eval=EvalConfig(ctx_buckets=(8192, 16384, 24576, 36864, 49152),
                         fused_train_eval=True),
     )

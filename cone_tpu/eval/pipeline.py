@@ -31,6 +31,7 @@ import numpy as np
 from cone_tpu.config import ConeConfig
 from cone_tpu.data.dataset import GroundingDataset
 from cone_tpu.models.cone import ConeModel
+from cone_tpu.ops.spans import round4_device
 from cone_tpu.ops.nms import (
     dedup_spans_device,
     temporal_nms_device,
@@ -154,9 +155,10 @@ class InferencePipeline:
             if cand_valid is not None:
                 valid = valid & cand_valid.reshape(qc, k * p)
 
-            # on-device fusion + NMS (same math as device_post_fn, with the
-            # host path's 4-dp rounding)
-            r4 = lambda x: jnp.round(x * 1e4) / 1e4
+            # on-device fusion + NMS (same math as device_post_fn, with
+            # the host path's 4-dp rounding — ops/spans.py round4_device
+            # for why the naive round(x*1e4)/1e4 breaks at MAD magnitudes)
+            r4 = round4_device
             sp = r4(spans_sec.reshape(qc, k * p, 2))
             pr = r4(prob.reshape(qc, k * p))
             ma = r4(match.reshape(qc, k * p))

@@ -86,3 +86,17 @@ def generalized_temporal_iou(spans1: jnp.ndarray, spans2: jnp.ndarray) -> jnp.nd
     enclosing_area = jnp.clip(right - left, min=0)
 
     return iou - (enclosing_area - union) / enclosing_area
+
+
+def round4_device(x: jnp.ndarray) -> jnp.ndarray:
+    """Decimal 4-dp rounding on device, valid across MAD time magnitudes.
+
+    The host parity path rounds with float(f"{v:.4f}")
+    (cone/inference.py:83); a naive fp32 `round(x * 1e4) / 1e4` loses the
+    .5 boundary entirely once x * 1e4 exceeds 2^23 (ULP 1 at 1e7 — i.e.
+    any timestamp past ~839 s, every MAD movie). Splitting off the integer
+    part keeps the scaled fraction < 1e4, where fp32 resolves ~6e-4, so
+    the rounding decision matches the host's within ~6e-4 of an exact .5
+    boundary instead of half a quantum."""
+    i = jnp.floor(x)
+    return i + jnp.round((x - i) * 1e4) / 1e4

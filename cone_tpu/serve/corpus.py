@@ -186,7 +186,15 @@ class CorpusRetriever:
         the fine stage slices its shortlisted movies back out of it."""
         if self._stacked is not None:
             return self._stacked
-        assert self.clip_ids, "corpus is empty — add_video() first"
+        if not self.clip_ids:
+            # multi-host: a rank may legitimately hold an empty library
+            # shard (more processes than movies) — it must still reach the
+            # control-plane gathers with an empty contribution, or every
+            # peer blocks in the rendezvous for the full KV timeout
+            assert jax.process_count() > 1, \
+                "corpus is empty — add_video() first"
+            self._stacked = {}
+            return self._stacked
         by_bucket: Dict[int, List[str]] = {}
         for cid in self.clip_ids:
             l_pad = self.pipe._device_video(cid)[0].shape[0]

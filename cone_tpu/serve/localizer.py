@@ -75,4 +75,4 @@ class OnlineLocalizer:
         self.pipe.clear_cache()
         subs, _ = self.pipe.run(host_postproc=True)
         times = subs["fusion"][0]["predicted_times"]
-        return times[:top_k] if top_k else times
+        return times[:top_k] if top_k is not None else times

@@ -86,7 +86,8 @@ class MomentPredictor:
         # silently defeat exactness comparisons
         tag = (f"{self.clip_model_name}:{self.clip_engine}"
                if self.backend == "clip"
-               else f"egovlp:{self.egovlp_checkpoint}")
+               else f"egovlp:{self.egovlp_checkpoint}:"
+                    f"{self.frames_per_clip}:{self.egovlp_cfg}")
         key = hashlib.sha1(
             f"{os.path.abspath(video_path)}:{tag}:{self.fps}".encode()
         ).hexdigest()[:16]

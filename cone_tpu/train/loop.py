@@ -126,11 +126,11 @@ def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
         from cone_tpu.parallel.distributed import all_gather_rows
 
         subs = {name: all_gather_rows(rows) for name, rows in subs.items()}
-        ranklists = dict(
-            (qid, rank) for row in all_gather_rows(
+        ranklists = {
+            row["qid"]: row["rank"]
+            for row in all_gather_rows(
                 [{"qid": q, "rank": r} for q, r in ranklists.items()])
-            for qid, rank in [(row["qid"], row["rank"])]
-        )
+        }
     gt = [dict(query_id=e.query_id, timestamps=e.timestamps) for e in eval_ds.examples]
     if cfg.data.dset_name == "mad":
         thresholds, topk = [0.1, 0.3, 0.5], [1, 5, 10, 50, 100]

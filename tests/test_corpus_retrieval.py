@@ -306,3 +306,71 @@ def test_sharded_library_merge_matches_full(cfg, ds):
             np.testing.assert_allclose(
                 np.array([h["span"] for h in gq], np.float64),
                 np.array([h["span"] for h in wq], np.float64), atol=1e-4)
+
+
+def test_sharded_library_empty_shard_participates(cfg, ds):
+    """A rank whose library shard is EMPTY (more processes than movies)
+    must still reach the control-plane gathers with an empty contribution
+    and return the identical global ranking — an assert before the
+    rendezvous would wedge every peer for the full KV timeout
+    (serve/corpus.py _ensure_stacked)."""
+    import jax
+
+    import cone_tpu.parallel.distributed as dist_mod
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+
+    def build(vids):
+        r = CorpusRetriever(model, params, cfg, dataset=None, fine_chunk=4)
+        for cid in vids:
+            r.add_video(cid, ds.video_features(cid)[0])
+        return r
+
+    vids = sorted(ds.video_ids)
+    toks, clss = [], []
+    for ex in ds.examples[:4]:
+        tok, cls = ds.query_features(ex.query_id)
+        toks.append(tok)
+        clss.append(cls)
+    clsv = np.stack(clss)
+    want = build(vids).search_batch(toks, clsv, top_moments=5)
+    shards = [build(vids), build([])]  # rank 1 holds nothing
+
+    class Stop(Exception):
+        pass
+
+    captured = {}
+    orig_pc, orig_gather = jax.process_count, dist_mod.all_gather_obj
+
+    def run(rank, upto):
+        n = [0]
+
+        def fake(obj, tag="obj"):
+            i = n[0]
+            n[0] += 1
+            if i < upto:
+                return captured[i]
+            captured.setdefault(i, [None, None])[rank] = obj
+            raise Stop()
+
+        jax.process_count = lambda: 2
+        dist_mod.all_gather_obj = fake
+        try:
+            return shards[rank].search_batch(toks, clsv, top_moments=5)
+        except Stop:
+            return None
+        finally:
+            jax.process_count = orig_pc
+            dist_mod.all_gather_obj = orig_gather
+
+    for upto in (0, 1):
+        for rank in (0, 1):
+            run(rank, upto)
+    outs = [run(0, 99), run(1, 99)]
+
+    for got in outs:
+        assert got is not None
+        for gq, wq in zip(got, want):
+            assert [h["video_id"] for h in gq] == [h["video_id"] for h in wq]
+            np.testing.assert_allclose(
+                [h["fused"] for h in gq], [h["fused"] for h in wq], atol=1e-6)

@@ -64,3 +64,31 @@ def test_giou_matches_iou_when_overlapping(rng):
     s1 = jnp.asarray(np.sort(rng.uniform(0, 1, size=(16, 2)), axis=-1))
     giou = generalized_temporal_iou(s1, s1)
     np.testing.assert_allclose(np.diag(np.asarray(giou)), 1.0, atol=1e-5)
+
+
+def test_round4_device_matches_host_rounding_at_mad_magnitudes():
+    """round4_device must reproduce the host path's float(f"{v:.4f}") for
+    fp32 timestamps across the MAD time range. The naive fp32
+    round(x*1e4)/1e4 cannot: past x ~ 839 s the product's ULP exceeds 1, so
+    the .5 boundary is unrepresentable and the rounding DECISION is wrong
+    for ~half of all values (not just boundary cases)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cone_tpu.ops.spans import round4_device
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.uniform(0, 120, 2000),        # ego4d-scale timestamps
+        rng.uniform(800, 7200, 4000),     # MAD-scale (2 h movies)
+    ]).astype(np.float32)
+    got = np.asarray(round4_device(jnp.asarray(x)), np.float32)
+    want = np.asarray([float(f"{v:.4f}") for v in x], np.float32)
+    naive = np.asarray(jnp.round(jnp.asarray(x) * 1e4) / 1e4, np.float32)
+    # the naive version is visibly broken at these magnitudes...
+    assert (np.abs(naive - want) > 2e-4).mean() > 0.05
+    # ...the split version agrees except within fp32 product error of an
+    # exact .5 boundary (none in 6000 random draws) and fp32 output ULP
+    np.testing.assert_allclose(got, want, atol=5e-4)
+    exact = np.abs(got - want) <= np.spacing(want)
+    assert exact.mean() > 0.999, exact.mean()

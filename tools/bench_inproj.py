@@ -26,7 +26,6 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    import flax.linen as nn
 
     from cone_tpu.utils.cache import jax_cache_dir
 
@@ -42,25 +41,7 @@ def main():
 
     sliced_cls = transformer.PackedInProj
 
-    class FullInProj(nn.Module):
-        """The torch-literal path: full packed matmul, slice the output."""
-
-        d_model: int
-        dtype: jnp.dtype = jnp.float32
-
-        @nn.compact
-        def __call__(self, x, lo, hi):
-            kernel = self.param(
-                "kernel", nn.initializers.lecun_normal(),
-                (self.d_model, 3 * self.d_model), jnp.float32,
-            )
-            bias = self.param(
-                "bias", nn.initializers.zeros_init(), (3 * self.d_model,),
-                jnp.float32,
-            )
-            y = (x.astype(self.dtype) @ kernel.astype(self.dtype)
-                 + bias.astype(self.dtype))
-            return y[..., lo:hi]
+    from tools.torch_literal import FullInProj
 
     for name, (max_v_l, max_q_l, topk, qc, dim) in {
         "ego4d": (90, 20, 20, 32, 256),
