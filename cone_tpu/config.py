@@ -116,6 +116,11 @@ class DataConfig:
     normalize_v: bool = True
     normalize_t: bool = True
     txt_drop_ratio: float = 0.0
+    # host RAM bound: keep at most this many videos' normalized features
+    # cached (FIFO). 0 = unbounded (the reference RAM-caches everything,
+    # ego4d_mad_dataloader.py:97-111 — tens of GB at MAD scale); re-reads
+    # are one mmap slice + L2 normalize
+    max_cached_videos: int = 0
     # static padded length for whole-video feature arrays (coarse stage)
     max_ctx_l: int = 2304
 

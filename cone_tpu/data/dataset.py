@@ -111,6 +111,13 @@ class GroundingDataset:
                 mo = self.motion.get(clip_id).astype(np.float32)
                 if self.cfg.normalize_v:
                     mo = l2_normalize(mo)
+            limit = self.cfg.max_cached_videos
+            if limit and len(self._vid_cache) >= limit:
+                # FIFO eviction: the reference RAM-caches EVERY video up
+                # front (ego4d_mad_dataloader.py:97-111) which is tens of
+                # GB at MAD scale; a bound keeps host RSS flat (a re-read
+                # is one mmap slice + L2 normalize, ~ms)
+                self._vid_cache.pop(next(iter(self._vid_cache)))
             self._vid_cache[clip_id] = (ap, mo)
         return self._vid_cache[clip_id]
 
@@ -255,6 +262,10 @@ class TrainLoader:
                 )
                 for i in idxs
             ]
+            assert samples, (
+                "empty local batch slice — multi-host runs need"
+                " train.bsz >= jax.process_count() (each process"
+                " materializes at least one row of every global batch)")
             yield {
                 k: np.stack([s[k] for s in samples]) for k in samples[0]
             }

@@ -92,13 +92,17 @@ def evaluate_recall_table(submission, ground_truth, thresholds, topK,
         ground_truth = [e for e in ground_truth if e["query_id"] in shared]
 
     truth = {d["query_id"]: d["timestamps"] for d in ground_truth}
-    thresholds = np.asarray(thresholds)
+    # float32 end to end: the reference MAD evaluator builds default torch
+    # tensors (evaluate_mad.py:33-58), so strict `>` verdicts at threshold
+    # boundaries are float32 decisions (the ego4d evaluator below is numpy
+    # float64, matching ITS reference)
+    thresholds = np.asarray(thresholds, np.float32)
     topK = np.asarray(topK)
     recall = np.zeros((len(topK), len(thresholds)))
     max_k = topK.max()
     for row in submission:
-        gt = np.asarray(truth[row["query_id"]], np.float64)[None, :2]
-        times = np.asarray(row["predicted_times"], np.float64)[:max_k, :2]
+        gt = np.asarray(truth[row["query_id"]], np.float32)[None, :2]
+        times = np.asarray(row["predicted_times"], np.float32)[:max_k, :2]
         ious = hull_iou(times, gt)[:, 0]
         hits = ious[:, None] > thresholds[None, :]  # (P, T)
         for i, r in enumerate(topK):

@@ -61,14 +61,22 @@ def _span_losses(outputs, tgt_spans, span_mask, assign):
     loss_span = (l1 * span_mask).sum() / (2.0 * n)  # mean over 2*#spans elems
 
     src_xx = span_cxw_to_xx(src.reshape(-1, 2))
-    tgt_xx = span_cxw_to_xx(tgt_spans.reshape(-1, 2))
+    # padded target slots are degenerate (0, 0) spans; if the matched
+    # prediction's sigmoid width also underflows to exactly 0, gIoU there
+    # is 0/0 = NaN, and NaN poisons both `NaN * 0` in the forward and the
+    # `0 cotangent x NaN` in the backward. Replace masked targets with a
+    # safe unit span BEFORE the IoU (the double-where rule), then mask.
+    safe_tgt = jnp.where((span_mask > 0).reshape(-1, 1),
+                         tgt_spans.reshape(-1, 2),
+                         jnp.asarray([0.5, 1.0], tgt_spans.dtype))
+    tgt_xx = span_cxw_to_xx(safe_tgt)
     giou_diag = jnp.diagonal(generalized_temporal_iou(src_xx, tgt_xx))
     giou_diag = giou_diag.reshape(span_mask.shape)
     loss_giou = ((1.0 - giou_diag) * span_mask).sum() / n
     return loss_span, loss_giou
 
 
-def _label_loss(outputs, assign, span_mask, neg_outputs, eos_coef, num_queries):
+def _label_loss(outputs, assign, span_mask, neg_outputs, eos_coef):
     """fg/bg CE; negative-window logits appended as pure background
     (cone/model.py:299-329)."""
     logits = outputs["pred_logits"]  # (B, NQ, 2)
@@ -138,7 +146,6 @@ def compute_losses(
     targets: Optional[dict],
     neg_outputs: Optional[dict],
     cfg: LossConfig,
-    num_queries: int,
 ) -> dict:
     """All criterion terms (unweighted), keyed like the reference.
 
@@ -167,7 +174,7 @@ def compute_losses(
     losses["loss_span"] = loss_span
     losses["loss_giou"] = loss_giou
     loss_label, class_error = _label_loss(
-        outputs, assign, span_mask, neg_outputs, cfg.eos_coef, num_queries
+        outputs, assign, span_mask, neg_outputs, cfg.eos_coef
     )
     losses["loss_label"] = loss_label
     losses["class_error"] = class_error
@@ -187,7 +194,7 @@ def compute_losses(
             a_assign = _match_layer(aux, tgt_spans, span_mask, cfg)
             a_span, a_giou = _span_losses(aux, tgt_spans, span_mask, a_assign)
             a_label, a_err = _label_loss(
-                aux, a_assign, span_mask, neg_outputs, cfg.eos_coef, num_queries
+                aux, a_assign, span_mask, neg_outputs, cfg.eos_coef
             )
             losses[f"loss_span_{i}"] = a_span
             losses[f"loss_giou_{i}"] = a_giou

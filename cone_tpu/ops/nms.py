@@ -141,7 +141,9 @@ def temporal_nms_device(
     s_scores = jnp.take_along_axis(neg, order, axis=-1)
     s_valid = jnp.take_along_axis(valid, order, axis=-1)
 
-    if nms_thd >= 0:
+    if nms_thd != -1:  # the reference's no-NMS sentinel is exactly -1
+        # (cone/inference.py:113, mirrored by the host path); any other
+        # negative threshold must suppress like the host does
         if max_before_nms is not None and max_before_nms < p:
             s_valid = s_valid & (jnp.arange(p) < max_before_nms)
         st, ed = s_spans[..., 0], s_spans[..., 1]

@@ -29,7 +29,6 @@ def make_train_step(model: ConeModel, tx, cfg: ConeConfig, mesh=None):
     """Returns train_step(params, opt_state, batch, rng, adapter_on) ->
     (params, opt_state, metrics)."""
     weights = loss_weight_dict(cfg.loss, cfg.model.dec_layers)
-    nq = cfg.model.num_queries
 
     def loss_fn(params, batch, rng, adapter_on: bool):
         d1, d2 = jax.random.split(rng)
@@ -67,7 +66,7 @@ def make_train_step(model: ConeModel, tx, cfg: ConeConfig, mesh=None):
             "saliency_pos": batch["sal_pos"],
             "saliency_neg": batch["sal_neg"],
         }
-        losses = compute_losses(pos_out, targets, neg_out, cfg.loss, nq)
+        losses = compute_losses(pos_out, targets, neg_out, cfg.loss)
         total = total_loss(losses, weights)
         losses["loss_overall"] = total
         return total, losses
