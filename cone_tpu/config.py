@@ -181,10 +181,12 @@ class EvalConfig:
     # for topologies where the (Q, L) intermediate becomes the bottleneck.
     use_pallas_coarse: bool = False
     # training-loop evals through the fused device path instead of the
-    # reference-exact host postproc. Device dedup + max_before_nms now make
-    # the two bit-identical (tests/test_nms_device_parity.py incl. the
-    # 300-candidate TAN-MAD geometry), so this is safe for the stop score;
-    # it is the knob that keeps MAD-scale eval epochs off the host Python.
+    # reference-exact host postproc. Device dedup + max_before_nms match
+    # the host on every tested geometry incl. the 300-candidate TAN-MAD
+    # one (tests/test_nms_device_parity.py); the one known residual is the
+    # 4-dp rounding decision within ~6e-4 of an exact .5 boundary
+    # (ops/spans.py round4_device). Safe for the stop score; this is the
+    # knob that keeps MAD-scale eval epochs off the host Python.
     # Defaults off: host postproc stays the reference-parity baseline.
     fused_train_eval: bool = False
     # dtype of the HBM-resident video-feature corpus: "float32" (exact),
@@ -301,11 +303,18 @@ def tan_ego4d_config() -> ConeConfig:
     @0.535 s EgoVLP features, stride-1 frame pooling -> 64x64 map."""
     return ConeConfig(
         model=ModelConfig(model_family="tan"),
+        # ADAPTER_LOSS_WEIGHT 0.1 (lib/core/config.py:83)
+        loss=LossConfig(adapter_loss_coef=0.1),
         data=DataConfig(
             dset_name="ego4d", max_v_l=64, clip_length=0.535, topk_window=20,
             max_ctx_l=2304,
         ),
-        train=TrainConfig(n_epoch=8, bsz=32, lr=1e-4, wd=0.0),
+        # MAX_EPOCH 90 + adapter from epoch 28 (the yaml's
+        # ADAPTER_START_EPOCH 27 via strict >, lib/core/config.py:84) — an
+        # 8-epoch run would never activate the adapter NCE yet still apply
+        # the random-init adapter in the coarse stage at eval
+        train=TrainConfig(n_epoch=90, bsz=32, lr=1e-4, wd=0.0,
+                          start_epoch_for_adapter=28),
         tan=TanConfig(num_clips=64, v_feat_dim=256, t_feat_dim=768,
                       frame_kernel=1, frame_stride=1),
     )

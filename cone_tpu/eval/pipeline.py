@@ -75,11 +75,20 @@ class InferencePipeline:
             only the encoded array between requests."""
             return x.astype(jnp.float32) * scale
 
+        # one source of truth per family: the TAN head's adapter is
+        # governed by cfg.tan.adapter_module (cone_2dtan yaml ADAPTER),
+        # the CONE head's by cfg.model.adapter_module — gating the coarse
+        # stage on the wrong knob would apply/skip a different adapter
+        # than the model actually trained
+        adapter_module = (cfg.tan.adapter_module
+                          if cfg.model.model_family == "tan"
+                          else cfg.model.adapter_module)
+
         def adapt_core(params, feats):
             """Adapter + renormalize for the coarse stage
             (cone/inference.py:254-258). Works for any model exposing
             .adapt (CONE or CONE-TAN)."""
-            if cfg.model.adapter_module == "linear":
+            if adapter_module == "linear":
                 out = model.apply({"params": params}, feats,
                                   method=type(model).adapt)
                 norm = jnp.linalg.norm(out, axis=-1, keepdims=True)

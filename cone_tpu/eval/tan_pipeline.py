@@ -17,7 +17,7 @@ import numpy as np
 
 from cone_tpu.config import ConeConfig
 from cone_tpu.eval.pipeline import InferencePipeline
-from cone_tpu.models.tan import ConeTanModel, TanConfig, sparse_map_mask
+from cone_tpu.models.tan import ConeTanModel, TanConfig
 from cone_tpu.ops.windows import slice_windows
 
 
@@ -58,10 +58,6 @@ class TanInferencePipeline(InferencePipeline):
             f"TAN num_clips*frame_stride ({nc}*{stride_t}) must equal the "
             f"window length ({max_v_l})"
         )
-        cell_mask = jnp.asarray(
-            sparse_map_mask(nc, self.tan_cfg.num_scale_layers).reshape(-1)
-        )
-
         def fine_fn(params, appear, motion, ctx_l, win_idx, q_tok, q_mask, q_cls):
             qc, k = win_idx.shape
 
@@ -76,15 +72,26 @@ class TanInferencePipeline(InferencePipeline):
             rep = lambda x: jnp.repeat(x, k, axis=0)
             tok, tmask, cls = rep(q_tok), rep(q_mask), rep(q_cls)
 
-            scores, _ = model.apply({"params": params}, tok, tmask, mo)
-            prob = jax.nn.sigmoid(scores).reshape(qc * k, nc * nc)
-            prob = jnp.where(cell_mask[None].astype(bool), prob, -1.0)
+            scores, map_mask = model.apply({"params": params}, tok, tmask, mo)
+            # the MODEL's own cell mask (sparse cascade / conv / dense each
+            # have a different one) — the reference likewise scores
+            # sigmoid(prediction) * map_mask (moment_localization/
+            # test.py:121-125), so invalid cells carry 0, never 0.5
+            prob = (jax.nn.sigmoid(scores) * map_mask[None]).reshape(
+                qc * k, nc * nc)
+
+            def top_k_ref_order(x, kk):
+                """lax.top_k with the reference's tie order: equal scores
+                prefer the HIGHEST flat cell (np.argsort(ravel())[::-1],
+                test.py:275-276); top_k alone prefers the lowest."""
+                v, ridx = jax.lax.top_k(x[..., ::-1], kk)
+                return v, x.shape[-1] - 1 - ridx
 
             if self.nms_within_window:
                 from cone_tpu.ops.nms import temporal_nms_device
 
                 pool = min(self.pre_nms_pool, nc * nc)
-                pool_prob, pool_idx = jax.lax.top_k(prob, pool)
+                pool_prob, pool_idx = top_k_ref_order(prob, pool)
                 ps = (pool_idx // nc).astype(jnp.float32)
                 pe = (pool_idx % nc + 1).astype(jnp.float32)
                 spans_clip, top_prob, cand_valid = temporal_nms_device(
@@ -95,11 +102,11 @@ class TanInferencePipeline(InferencePipeline):
                 s_cell = spans_clip[..., 0].astype(jnp.int32)
                 e_cell = spans_clip[..., 1].astype(jnp.int32)
             else:
-                top_prob, top_idx = jax.lax.top_k(prob, top_p)  # (B, P)
+                top_prob, top_idx = top_k_ref_order(prob, top_p)  # (B, P)
                 s_cell = top_idx // nc
                 e_cell = top_idx % nc + 1  # cell (s, e) covers clips [s, e+1)
                 spans_clip = jnp.stack([s_cell, e_cell], axis=-1).astype(jnp.float32)
-                cand_valid = jnp.ones_like(top_prob, dtype=bool)
+                cand_valid = top_prob > 0
 
             # map cells -> raw clip units: x TARGET_STRIDE
             # (moment_localization/test.py:293,426); matching pools the raw

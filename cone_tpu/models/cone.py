@@ -271,13 +271,10 @@ class ConeModel(nn.Module):
         Returns:
             (B, B) logits_per_video, matching cone/model.py:142-148.
         """
-        text = src_cls_txt / jnp.linalg.norm(src_cls_txt, axis=1, keepdims=True)
-        pooled = masked_segment_mean(
-            src_vid_appear, proposal_start[:, None], proposal_end[:, None]
-        )[:, 0]  # (B, D)
-        prop = self.adapt(pooled)
-        prop = prop / jnp.linalg.norm(prop, axis=1, keepdims=True)
-        return jnp.einsum("bd,ad->ba", prop, text)
+        from cone_tpu.ops.pooling import matching_sim_gt
+
+        return matching_sim_gt(self.adapt, src_cls_txt, src_vid_appear,
+                               proposal_start, proposal_end)
 
     def clip_matching_pred(self, src_cls_txt, src_vid_appear, src_vid_appear_mask,
                            pred_spans_cxw):
@@ -286,11 +283,7 @@ class ConeModel(nn.Module):
         Returns:
             (B, NQ) cosine similarity per predicted proposal.
         """
-        text = src_cls_txt / jnp.linalg.norm(src_cls_txt, axis=1, keepdims=True)
+        from cone_tpu.ops.pooling import matching_scores_pred
+
         pooled = proposal_mean_pool(src_vid_appear, src_vid_appear_mask, pred_spans_cxw)
-        prop = self.adapt(pooled)
-        # safe normalize (empty proposals pool to exact zeros; a plain
-        # norm-divide would emit NaN gradients there)
-        n2 = jnp.sum(prop * prop, axis=2, keepdims=True)
-        prop = jnp.where(n2 > 0, prop * jax.lax.rsqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
-        return jnp.einsum("bld,bd->bl", prop, text)
+        return matching_scores_pred(self.adapt, src_cls_txt, pooled)

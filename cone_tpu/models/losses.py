@@ -48,7 +48,7 @@ def _match_layer(outputs, tgt_spans, span_mask, cfg: LossConfig):
     cost = matcher_cost(
         outputs["pred_spans"], outputs["pred_logits"], tgt_spans,
         cost_span=cfg.set_cost_span, cost_giou=cfg.set_cost_giou,
-        cost_class=cfg.set_cost_class,
+        cost_class=cfg.set_cost_class, tgt_mask=span_mask,
     )
     return hungarian_match(cost, span_mask)  # (B, NT)
 

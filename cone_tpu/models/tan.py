@@ -316,27 +316,20 @@ class ConeTanModel(nn.Module):
 
     def clip_matching_gt(self, src_cls_txt, src_vid_appear, proposal_start,
                          proposal_end):
-        from cone_tpu.ops.pooling import masked_segment_mean
+        from cone_tpu.ops.pooling import matching_sim_gt
 
-        text = src_cls_txt / jnp.linalg.norm(src_cls_txt, axis=1, keepdims=True)
-        pooled = masked_segment_mean(
-            src_vid_appear, proposal_start[:, None], proposal_end[:, None]
-        )[:, 0]
-        prop = self.adapt(pooled)
-        prop = prop / jnp.linalg.norm(prop, axis=1, keepdims=True)
-        return jnp.einsum("bd,ad->ba", prop, text)
+        return matching_sim_gt(self.adapt, src_cls_txt, src_vid_appear,
+                               proposal_start, proposal_end)
 
     def clip_matching_pred(self, src_cls_txt, src_vid_appear, proposal_start,
                            proposal_end):
         """Integer proposal cells (B, K) -> (B, K) matching scores."""
-        from cone_tpu.ops.pooling import masked_segment_mean
+        from cone_tpu.ops.pooling import (masked_segment_mean,
+                                          matching_scores_pred)
 
-        text = src_cls_txt / jnp.linalg.norm(src_cls_txt, axis=1, keepdims=True)
-        pooled = masked_segment_mean(src_vid_appear, proposal_start, proposal_end)
-        prop = self.adapt(pooled)
-        n2 = jnp.sum(prop * prop, axis=2, keepdims=True)
-        prop = jnp.where(n2 > 0, prop * jax.lax.rsqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
-        return jnp.einsum("bld,bd->bl", prop, text)
+        pooled = masked_segment_mean(src_vid_appear, proposal_start,
+                                     proposal_end)
+        return matching_scores_pred(self.adapt, src_cls_txt, pooled)
 
     def init_all(self, tokens, tok_mask, visual_input, src_cls_txt,
                  src_vid_appear):

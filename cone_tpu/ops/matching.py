@@ -67,6 +67,7 @@ def matcher_cost(
     cost_giou: float = 1.0,
     cost_class: float = 4.0,
     foreground_label: int = 0,
+    tgt_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Per-sample matching cost (B, NQ, NT); cf. cone/matcher.py:61-95.
 
@@ -82,6 +83,15 @@ def matcher_cost(
     """
     prob_fg = jax.nn.softmax(pred_logits, axis=-1)[..., foreground_label]  # (B, NQ)
     c_class = -prob_fg[:, :, None]  # (B, NQ, NT)
+
+    if tgt_mask is not None:
+        # padded target slots are degenerate (0, 0) spans; against a
+        # prediction whose sigmoid width underflowed to exactly 0, gIoU is
+        # 0/0 = NaN, and in hungarian_match every permutation total
+        # becomes NaN through `cost * mask` (0 * NaN = NaN) — the same
+        # channel models/losses.py guards. Substitute a safe unit span.
+        tgt_spans = jnp.where(tgt_mask[..., None] > 0, tgt_spans,
+                              jnp.asarray([0.5, 1.0], tgt_spans.dtype))
 
     l1 = jnp.abs(pred_spans[:, :, None, :] - tgt_spans[:, None, :, :]).sum(-1)
 

@@ -67,3 +67,30 @@ def proposal_mean_pool(
     start = jnp.maximum(jnp.floor(prop[..., 0]), 0.0).astype(jnp.int32)
     end = jnp.ceil(prop[..., 1]).astype(jnp.int32)
     return masked_segment_mean(vid_appear, start, end)
+
+
+def matching_sim_gt(adapt_fn, src_cls_txt, src_vid_appear, proposal_start,
+                    proposal_end):
+    """GT-proposal <-> text CLS similarity matrix (B, B) — the matching
+    branch both model families share verbatim (cone/model.py:130-148,
+    cone_2dtan/lib/models/cone_tan.py:40-72). `adapt_fn` is the model's
+    residual adapter (or identity)."""
+    text = src_cls_txt / jnp.linalg.norm(src_cls_txt, axis=1, keepdims=True)
+    pooled = masked_segment_mean(
+        src_vid_appear, proposal_start[:, None], proposal_end[:, None]
+    )[:, 0]  # (B, D)
+    prop = adapt_fn(pooled)
+    prop = prop / jnp.linalg.norm(prop, axis=1, keepdims=True)
+    return jnp.einsum("bd,ad->ba", prop, text)
+
+
+def matching_scores_pred(adapt_fn, src_cls_txt, pooled):
+    """(B, K, D) pooled proposal features -> (B, K) cosine matching scores
+    with the safe normalize both families need (empty proposals pool to
+    exact zeros; a plain norm-divide would emit NaN gradients there)."""
+    text = src_cls_txt / jnp.linalg.norm(src_cls_txt, axis=1, keepdims=True)
+    prop = adapt_fn(pooled)
+    n2 = jnp.sum(prop * prop, axis=2, keepdims=True)
+    prop = jnp.where(n2 > 0, prop * jax.lax.rsqrt(jnp.where(n2 > 0, n2, 1.0)),
+                     0.0)
+    return jnp.einsum("bld,bd->bl", prop, text)

@@ -92,6 +92,9 @@ class CorpusRetriever:
 
         stride = self.pipe.stride
         mcfg = self.cfg.model
+        adapter_module = (self.cfg.tan.adapter_module
+                          if mcfg.model_family == "tan"
+                          else mcfg.adapter_module)
         model_ = model
 
         @jax.jit
@@ -104,7 +107,8 @@ class CorpusRetriever:
 
             def one(a, s, c):
                 feats = a.astype(jnp.float32) * s
-                if mcfg.adapter_module == "linear":
+                # per-family adapter knob, like eval/pipeline.py adapt_core
+                if adapter_module == "linear":
                     out = model_.apply({"params": params}, feats,
                                        method=type(model_).adapt)
                     norm = jnp.linalg.norm(out, axis=-1, keepdims=True)

@@ -246,7 +246,8 @@ def train(
         plateau = ReduceLROnPlateau(factor=cfg.train.plateau_factor,
                                     patience=cfg.train.plateau_patience)
         step_fn = make_tan_train_step(
-            model, tx, cfg.tan, use_neg_loss=cfg.loss.neg_loss, mesh=mesh
+            model, tx, cfg.tan, use_neg_loss=cfg.loss.neg_loss, mesh=mesh,
+            adapter_loss_coef=cfg.loss.adapter_loss_coef,
         )
     else:
         tx = make_optimizer(params, cfg.train, loader.steps_per_epoch())

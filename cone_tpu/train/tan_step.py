@@ -32,7 +32,10 @@ def iou_target_map_jnp(num_clips: int, start_pos, end_pos):
 
 
 def make_tan_train_step(model: ConeTanModel, tx, tan_cfg: TanConfig,
-                        use_neg_loss: bool = True, mesh=None):
+                        use_neg_loss: bool = True, mesh=None,
+                        adapter_loss_coef: float = 0.1):
+    # adapter_loss_coef default = the reference's TRAIN.ADAPTER_LOSS_WEIGHT
+    # (lib/core/config.py:83); the loop passes cfg.loss.adapter_loss_coef
     def loss_fn(params, batch, adapter_on: bool):
         variables = {"params": params}
         pos_scores, map_mask = model.apply(
@@ -73,7 +76,11 @@ def make_tan_train_step(model: ConeTanModel, tx, tan_cfg: TanConfig,
             )
             a_loss = adapter_nce_loss(logits, tan_cfg.temperature)
             metrics["loss_adapter"] = a_loss
-            loss = loss + a_loss
+            # the reference weights the TAN adapter NCE by
+            # TRAIN.ADAPTER_LOSS_WEIGHT = 0.1 (lib/core/config.py:83,
+            # moment_localization/train.py:284); reuse the shared
+            # loss.adapter_loss_coef knob (presets set it to 0.1)
+            loss = loss + adapter_loss_coef * a_loss
 
         metrics["loss_overall"] = loss
         return loss, metrics
