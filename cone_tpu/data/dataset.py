@@ -138,6 +138,35 @@ class GroundingDataset:
         return tok, cls
 
     # ---- train sampling -------------------------------------------------
+    def sample_negative_window(self, index: int,
+                               rng: np.random.Generator):
+        """One padded standard-size negative window (motion stream) —
+        what the multiscale extra rows need, without building (and
+        discarding) a full training sample."""
+        cfg = self.cfg
+        ex = self.examples[index]
+        stride = self.stride
+        _, motion = self.video_features(ex.clip_id)
+        ctx_l = len(motion)
+        n_win = math.ceil(ctx_l / stride) + 1
+        start = min(ctx_l, ex.timestamps[0] / cfg.clip_length)
+        end = min(ctx_l, ex.timestamps[1] / cfg.clip_length)
+        pos_ids = np.arange(
+            math.floor(start / stride), math.ceil(end / stride) + 1
+        )
+        neg_pool = sorted(set(range(n_win)) - set(pos_ids.tolist()))
+        assert neg_pool, f"no negative window for {ex.query_id}"
+        nidx = int(neg_pool[rng.integers(len(neg_pool))])
+        n_start = max((nidx - 1) * stride, 0)
+        n_end = min((nidx - 1) * stride + cfg.max_v_l, ctx_l)
+        sl = motion[n_start:n_end]
+        out = np.zeros((cfg.max_v_l, motion.shape[1]), np.float32)
+        out[: len(sl)] = sl
+        m = np.zeros(cfg.max_v_l, np.float32)
+        m[: len(sl)] = 1
+        return out, m
+
+
 
     def sample_train(self, index: int, rng: np.random.Generator) -> dict:
         """One training example -> fixed-shape numpy dict."""

@@ -48,6 +48,11 @@ def sample_multiscale_windows(ds: GroundingDataset, index: int,
         rand_end_choice = min(math.floor(start), ctx_l - window_length)
         lo_c, hi_c = sorted((rand_start_choice, rand_end_choice))
         new_start = int(rng.integers(lo_c, hi_c)) if lo_c < hi_c else lo_c
+        # clamp: when ctx_l < window_length, rand_end_choice is negative
+        # and the draw can land below 0 — the reference's ragged tensors
+        # silently produced a short slice there; a fixed-shape copy would
+        # crash on the broadcast (and a negative python slice wraps)
+        new_start = max(new_start, 0)
         new_end = min(new_start + window_length, ctx_l)
         out.append((new_start, new_end, window_length))
     return out
@@ -56,7 +61,15 @@ def sample_multiscale_windows(ds: GroundingDataset, index: int,
 class MultiscaleTrainLoader(TrainLoader):
     """Batches with 4 windows per example: [standard x B ; extra x 3B]."""
 
-    def epoch(self, epoch_i: int):
+    def epoch(self, epoch_i: int, lo: int = 0, hi=None):
+        # the [standard x B ; extra x 3B] batch layout is position-dependent
+        # (the train step applies the adapter NCE to the first B rows), so
+        # the base class's per-process row-slice contract does not compose
+        # with it — reject multi-host slicing explicitly rather than
+        # producing misaligned global batches
+        assert lo == 0 and hi is None, (
+            "MultiscaleTrainLoader is single-host: its [std; extra] batch"
+            " layout cannot be row-sliced per process")
         cfg = self.ds.cfg
         pad_l = 2 * cfg.max_v_l
         rng = np.random.default_rng((self.seed, epoch_i, 0x6D73))  # "ms"
@@ -66,7 +79,12 @@ class MultiscaleTrainLoader(TrainLoader):
 
         for b in range(self.steps_per_epoch()):
             idxs = order[b * self.bsz : (b + 1) * self.bsz]
-            std = [self.ds.sample_train(int(i), rng) for i in idxs]
+            std = [
+                self.ds.sample_train(
+                    int(i), np.random.default_rng((self.seed, epoch_i, int(i)))
+                )
+                for i in idxs
+            ]
             base = {k: np.stack([s[k] for s in std]) for k in std[0]}
 
             def pad_to(x, l):
@@ -116,8 +134,6 @@ class MultiscaleTrainLoader(TrainLoader):
                     ed_n = min(end_pos, w_len) / max(w_len, 1)
                     span = np.zeros((cfg.max_windows, 2), np.float32)
                     span[0] = [(st_n + ed_n) / 2, ed_n - st_n]
-                    spanm = np.zeros(cfg.max_windows, np.float32)
-                    spanm[0] = 1
 
                     rel = list(range(int(math.floor(start_pos)),
                                      int(math.ceil(min(end_pos, w_len))))) or [
@@ -127,12 +143,15 @@ class MultiscaleTrainLoader(TrainLoader):
                     salp = np.array([int(rng.choice(rel))], np.int32)
                     saln = np.array([int(rng.choice(neg_pool))], np.int32)
 
-                    # a fresh standard-size negative window
+                    # a fresh standard-size negative window (just the
+                    # slice — a full sample_train here would triple the
+                    # loader's per-example sampling cost to throw most of
+                    # it away)
                     neg = np.zeros((pad_l, dv), np.float32)
                     negm = np.zeros(pad_l, np.float32)
-                    s2 = self.ds.sample_train(i, rng)
-                    neg[: cfg.max_v_l] = s2["neg_motion"]
-                    negm[: cfg.max_v_l] = s2["neg_mask"]
+                    nm, nmask = self.ds.sample_negative_window(i, rng)
+                    neg[: cfg.max_v_l] = nm
+                    negm[: cfg.max_v_l] = nmask
 
                     extra["motion"].append(m)
                     extra["mask"].append(msk)

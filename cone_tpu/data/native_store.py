@@ -31,11 +31,23 @@ def _build_lib() -> str:
     if not os.path.exists(_LIB_PATH) or (
         os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
     ):
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-             _SRC, "-o", _LIB_PATH],
-            check=True, capture_output=True,
-        )
+        # serialize concurrent builders (multi-host ranks on a shared
+        # filesystem, pytest workers) and publish atomically: compiling
+        # straight to the final path lets a peer CDLL a half-written ELF
+        import fcntl
+
+        with open(_LIB_PATH + ".lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+            ):
+                tmp = f"{_LIB_PATH}.tmp.{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-pthread", _SRC, "-o", tmp],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, _LIB_PATH)
     return _LIB_PATH
 
 

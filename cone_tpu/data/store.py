@@ -55,6 +55,10 @@ class InMemoryArrayStore:
 def write_packed_store(path: str, items: Dict[str, np.ndarray]) -> None:
     """Write a packed .cfs store. All arrays must share dim and dtype."""
     arrays = {k: np.ascontiguousarray(v) for k, v in items.items()}
+    if not arrays:
+        raise ValueError(
+            f"refusing to write an empty store to {path} — no feature"
+            " arrays (empty/filtered source?)")
     first = next(iter(arrays.values()))
     dim = first.shape[-1]
     dtype = first.dtype
@@ -154,6 +158,8 @@ class LmdbArrayStore:
 
     def get(self, key: str) -> np.ndarray:
         dump = self._txn.get(key.encode())
+        if dump is None:
+            raise KeyError(key)  # dict-like contract, like every FeatureStore
         with io.BytesIO(dump) as reader:
             blob = np.load(reader, allow_pickle=True)
             return blob[self.array_key].astype(np.float32)

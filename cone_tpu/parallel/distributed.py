@@ -120,10 +120,21 @@ def _kv_allgather(payload: bytes, tag: str, timeout_s: int = 900) -> List[bytes]
     _barrier_seq[0] += 1
     key = f"cone_tpu:ag:{tag}:{_barrier_seq[0]}"
     client.key_value_set_bytes(f"{key}:{jax.process_index()}", payload)
-    return [
+    out = [
         client.blocking_key_value_get_bytes(f"{key}:{p}", timeout_s * 1000)
         for p in range(jax.process_count())
     ]
+    # the coordinator keeps every key for the life of the job; a long run
+    # gathering MAD-scale submission tables each eval would grow rank 0's
+    # coordination service unboundedly. Each process deletes its OWN key
+    # once every peer must have read it (the gather above doubles as the
+    # barrier: all peers hold all payloads before anyone returns).
+    try:
+        barrier(f"ag-done:{tag}", timeout_s)
+        client.key_value_delete(f"{key}:{jax.process_index()}")
+    except (AttributeError, RuntimeError):  # older clients: accept the leak
+        pass
+    return out
 
 
 def all_gather_obj(obj, tag: str = "obj") -> List:

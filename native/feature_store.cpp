@@ -57,7 +57,13 @@ struct Store {
   std::atomic<bool> stop{false};
 
   ~Store() {
-    stop = true;
+    {
+      // hold the mutex while setting stop: a worker between its predicate
+      // check and cv.wait() blocking would otherwise miss the notify and
+      // sleep forever, deadlocking join() (lost-wakeup race)
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
     cv.notify_all();
     for (auto& t : workers) t.join();
     if (base) munmap(const_cast<uint8_t*>(base), file_size);
