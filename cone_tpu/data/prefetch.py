@@ -15,25 +15,45 @@ _SENTINEL = object()
 
 
 def prefetch_iterator(iterable, depth: int = 2):
-    """Yield items of `iterable`, produced in a background thread."""
+    """Yield items of `iterable`, produced in a background thread.
+
+    Abandoning the iterator (break / exception in the consumer) releases
+    the worker: it checks a stop flag around a bounded put, so it never
+    blocks forever holding buffered batches alive."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     err = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate to consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

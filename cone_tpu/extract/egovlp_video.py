@@ -80,6 +80,13 @@ def extract_egovlp_video(
     for clip_id, path in videos.items():
         frames = decode_frames(path, fps, size=cfg.img_size)  # (T, H, W, 3)
         t = len(frames) // frames_per_clip * frames_per_clip
+        if t == 0:
+            # shorter than one clip window (or a decode failure): skip
+            # loudly instead of crashing the whole batch run at the final
+            # np.concatenate and losing every extracted video
+            print(f"WARNING: {clip_id} ({path}): {len(frames)} frames"
+                  f" < frames_per_clip={frames_per_clip}; skipped")
+            continue
         clips = frames[:t].reshape(-1, frames_per_clip, cfg.img_size,
                                    cfg.img_size, 3)
         clips = (clips.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD

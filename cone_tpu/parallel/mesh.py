@@ -44,7 +44,13 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "dp",
     already contains ONLY this process's rows (the loader materialized
     just its slice — see data/dataset.py TrainLoader.epoch)."""
     sh = batch_sharding(mesh, axis)
-    if jax.process_count() == 1 or mesh.devices.size <= len(jax.local_devices()):
+    pi0 = jax.process_index()
+    if jax.process_count() == 1 or all(
+            d.process_index == pi0 for d in mesh.devices.flat):
+        # plain device_put only when EVERY mesh device is addressable by
+        # this process (a size comparison would wrongly route a
+        # small-mesh multi-process run here and device_put onto devices
+        # another process owns)
         return {k: jax.device_put(v, sh) for k, v in batch.items()}
     pc, pi = jax.process_count(), jax.process_index()
 

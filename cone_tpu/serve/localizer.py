@@ -69,6 +69,10 @@ class OnlineLocalizer:
             f"video too long: {len(video_feats)} > max_ctx_l="
             f"{self.cfg.data.max_ctx_l}"
         )
+        # long queries truncate like the dataset path (tokenizers cap at
+        # max_q_l); without this a long query dies deep in the pipeline
+        # with an opaque broadcast error
+        token_feats = np.asarray(token_feats)[: self.cfg.data.max_q_l]
         self.pipe.ds = self._make_ds(video_feats, token_feats, cls_feat, query)
         # the device cache keys by clip_id ("v0" every request) — drop it so
         # a new request never reuses the previous video's features
