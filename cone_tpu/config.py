@@ -161,7 +161,13 @@ class EvalConfig:
     # name for the matching modality, cone/inference.py:489)
     eval_modality: str = "both"
     no_sort_results: bool = False
-    # chunk of queries per device batch in the fine stage
+    # chunk of queries per device batch in the fine stage. Like
+    # video_batch, SMALLER dispatches run faster device-side (XLA
+    # optimizes the smaller program better: ego4d device q/s 5098/4759/
+    # 3727 at qc 8/16/32; MAD 1013/956/887 — docs/RESULTS.md r3) while
+    # wall-clock over a high-latency tunnel prefers larger ones (fewer
+    # round trips: ego4d wall 725/1146/1828). Default 32 = tunnel
+    # wall-optimal; co-located hosts should run 8-16 and gain ~25%.
     query_chunk: int = 32
     # context-length buckets: each video pads to the smallest bucket that
     # fits (falling back to data.max_ctx_l) instead of always max_ctx_l.

@@ -120,11 +120,15 @@ def main():
     # sequence, config.py mad_scratch_config): the from-scratch serving
     # number that stacks the two measured geometry wins
     cfg_s = cfg.replace(model=dc.replace(cfg.model, nheads=2,
-                                         seq_pad_multiple=16))
+                                         seq_pad_multiple=16),
+                        eval=dc.replace(cfg.eval, query_chunk=8,
+                                        video_batch=1,
+                                        corpus_dtype="int8"))
     model_s, params_s = build_model_and_params(cfg_s.model, seed=0)
     pipe_s = InferencePipeline(model_s, params_s, ds, cfg_s)
     dev_s, pass_s = device_time_fused(pipe_s, n_queries, repeats=3)
-    print(f"mad_scratch geometry (nheads=2 + seqpad): {pass_s * 1e3:.1f}"
+    print(f"mad_scratch geometry (nheads=2 + seqpad + qc=8 + int8):"
+          f" {pass_s * 1e3:.1f}"
           f" ms/pass -> {1 / dev_s:.2f} q/s"
           f" (x{dev_s_per_q / dev_s:.2f} vs reference geometry)",
           file=sys.stderr)
