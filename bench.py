@@ -137,6 +137,21 @@ def main():
         f" (fine {perf['flops_fine_frac'] * 100:.0f}%)"
         f" | MFU {perf['mfu'] * 100:.2f}% | HBM {perf['hbm_util'] * 100:.1f}%")
 
+    # device-optimal dispatch size: co-located hosts run query_chunk=16
+    # (smaller fused programs optimize better — RESULTS.md qc sweep);
+    # qc=32 above is the wall-optimal config for this tunneled host
+    import dataclasses as dc
+
+    pipe16 = InferencePipeline(
+        model, params, ds,
+        cfg.replace(eval=dc.replace(cfg.eval, query_chunk=16)))
+    dev16, pass16 = device_time_fused(pipe16, n_queries, repeats=5)
+    perf16 = perf_report(cfg, cfg.data.max_ctx_l, n_queries, dev16,
+                         wall_qps=qps)
+    log(f"device-only qc=16 (co-located config): {pass16 * 1e3:.1f} ms/pass"
+        f" -> {perf16['device_qps']} q/s | MFU {perf16['mfu'] * 100:.2f}%")
+    del pipe16
+
     from cone_tpu.utils.perf import sync_latency, tunnel_sync
 
     # The baseline must keep the reference's ARCHITECTURE: one window per
@@ -199,6 +214,9 @@ def main():
         # (wall vs_baseline has varied 15-59x across sessions from the
         # BASELINE side alone; see RESULTS.md)
         "vs_baseline_device": round(perf["device_qps"] / baseline_qps, 2),
+        # the co-located (device-optimal) dispatch size, qc=16
+        "device_qps_best": perf16["device_qps"],
+        "mfu_best": perf16["mfu"],
         # device_qps is the stable cross-session number (tunnel-independent)
         **perf,
     }))
