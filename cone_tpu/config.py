@@ -273,17 +273,16 @@ def ego4d_config() -> ConeConfig:
 
 def ego4d_scratch_config() -> ConeConfig:
     """Ego4D preset tuned for FROM-SCRATCH training on TPU: identical to
-    ego4d_config() except nheads=4 (d_head 64 instead of 32 on the 128-wide
-    MXU; same parameter count, measured 18% faster fine forward —
-    docs/RESULTS.md "fine-stage breakdown"). Converted reference
-    checkpoints need nheads=8, so the plain preset keeps the reference
-    geometry and this one encodes the faster choice for new models."""
+    ego4d_config() except nheads=2 (d_head 128 — one MXU lane; same
+    parameter count). At the recommended co-located serving dispatch
+    (eval.query_chunk=16, SERVING.md) the one-process ordering is
+    nheads=2+pad 4 988 > nheads=8+pad 4 720 > nheads=4 unpadded 4 258
+    q/s device (docs/RESULTS.md round 3). Converted reference checkpoints
+    need nheads=8, so the plain preset keeps the reference geometry and
+    this one encodes the faster choice for new models."""
     cfg = ego4d_config()
-    # seq_pad_multiple=1: at nheads=4 the padded sequence measured SLOWER
-    # (5.88 -> 6.17 ms) — the L=112 tiling win exists only where attention
-    # tiling dominates (d_head 32 and 128); see tools/bench_seqpad.py
-    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=4,
-                                                 seq_pad_multiple=1))
+    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=2,
+                                                 seq_pad_multiple=16))
 
 
 def mad_scratch_config() -> ConeConfig:

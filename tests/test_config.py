@@ -13,17 +13,16 @@ from cone_tpu.config import (
 
 
 def test_scratch_preset_differs_only_in_geometry():
-    """ego4d_scratch = ego4d with nheads=4 (d_head 64: measured 18% faster
-    fine forward at identical parameter count, docs/RESULTS.md) and
-    seq_pad_multiple=1 (padding measured slower at d_head 64 —
-    tools/bench_seqpad.py). Everything else must stay reference-canonical."""
+    """ego4d_scratch = ego4d with nheads=2 (d_head 128, one MXU lane;
+    identical parameter count, fastest at the recommended co-located
+    dispatch — docs/RESULTS.md qc sweep). Everything else must stay
+    reference-canonical."""
     base, scratch = ego4d_config(), ego4d_scratch_config()
-    assert scratch.model.nheads == 4 and base.model.nheads == 8
+    assert scratch.model.nheads == 2 and base.model.nheads == 8
     assert base.model.seq_pad_multiple == 16
-    assert scratch.model.seq_pad_multiple == 1
+    assert scratch.model.seq_pad_multiple == 16
     assert scratch.replace(
-        model=dataclasses.replace(scratch.model, nheads=8,
-                                  seq_pad_multiple=16)) == base
+        model=dataclasses.replace(scratch.model, nheads=8)) == base
 
 
 def test_eval_modality_clip_round_trips():
