@@ -335,6 +335,15 @@ def train(
             if mesh is not None:
                 batch = shard_batch(batch, mesh, local=multi)
             meters["prepare_inputs_time"].update(time.time() - t0)
+            if multi and epoch == start_epoch and meters["step_time"].count == 0:
+                # align ranks right before the FIRST step execution: the
+                # epoch barrier above still leaves loader + shard_batch +
+                # executable load between it and the first Gloo collective,
+                # and on a contended single-core host that skew can exceed
+                # Gloo's hard ~30 s communicator-rendezvous window
+                from cone_tpu.parallel.distributed import barrier
+
+                barrier("first-step")
             t0 = time.time()
             rng, sub = jax.random.split(rng)
             params, opt_state, metrics = step_fn(
