@@ -379,12 +379,12 @@ def cmd_extract_text(args):
     elif args.backend == "roberta":
         tx.extract_roberta_text(args.input, args.out,
                                 model_name=args.model or "roberta-base",
-                                device=args.device)
+                                device=args.device, engine=args.engine)
     else:
         assert args.checkpoint, "--checkpoint required for egovlp"
         tx.extract_egovlp_text(args.input, args.out, args.checkpoint,
                                model_name=args.model or "distilbert-base-uncased",
-                               device=args.device)
+                               device=args.device, engine=args.engine)
     print(f"wrote text stores to {args.out}")
 
 
@@ -594,7 +594,9 @@ def main(argv=None):
     e.add_argument("--checkpoint", help="EgoVLP checkpoint (txt projection)")
     e.add_argument("--device", default="cpu")
     e.add_argument("--engine", choices=["torch", "flax"], default="torch",
-                   help="flax = run the CLIP tower on the jax device (TPU)")
+                   help="flax = run the text tower on the jax device (TPU):"
+                        " CLIP via models/clip.py, RoBERTa/DistilBERT via"
+                        " the HF flax classes (weights converted from torch)")
     e.set_defaults(fn=cmd_extract_text)
 
     ev = sub.add_parser("extract-video",

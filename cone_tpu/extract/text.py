@@ -1,10 +1,12 @@
 """Offline text feature extraction -> packed .cfs stores.
 
-Tokenization stays host-side; the CLIP text tower runs either on host
-torch (`engine="torch"`) or TPU-native through the flax ClipTextTower
-(`engine="flax"`, models/clip.py). RoBERTa/DistilBERT token extraction
-remains host torch (SURVEY.md §2.4). Produces the two stores the data
-layer consumes
+Tokenization stays host-side; every text tower runs either on host torch
+(`engine="torch"`) or on the jax default device — the TPU when attached —
+(`engine="flax"`): CLIP through the hand-written parity-tested
+ClipTextTower (models/clip.py), RoBERTa/DistilBERT through HuggingFace's
+flax classes with weights converted from the torch checkpoint (plain jax
+modules, jit-compiled at one fixed corpus shape). Produces the two stores
+the data layer consumes
 (`tokens.cfs` + `cls.cfs`), with the reference's exact feature semantics:
 
   * CLIP  (feature_extraction/mad_clip_text_extractor.py,
@@ -141,17 +143,80 @@ def _clip_text_flax(model, tokenizer, rows, batch_size):
             {qid: c for (qid, _), c in zip(rows, cls)})
 
 
+def _flax_last_hidden_fn(pt_model, flax_cls):
+    """torch encoder -> fixed-shape jitted flax forward on the jax default
+    device (the TPU when attached). HF's flax classes are plain jax
+    modules; the weights convert 1:1 from the torch state dict. Padding
+    never leaks into valid positions (additive -inf attention mask), so a
+    fixed width reproduces the torch batch-max-width outputs exactly."""
+    import jax
+
+    from transformers.modeling_flax_pytorch_utils import (
+        convert_pytorch_state_dict_to_flax,
+    )
+
+    fx = flax_cls(pt_model.config, seed=0)
+    params = convert_pytorch_state_dict_to_flax(pt_model.state_dict(), fx)
+
+    @jax.jit
+    def apply(params, ids, mask):
+        return fx(input_ids=ids, attention_mask=mask,
+                  params=params).last_hidden_state
+
+    return lambda ids, mask: np.asarray(apply(params, ids, mask), np.float32)
+
+
+def _encode_corpus_flax(rows, tokenizer, hidden_fn, batch_size):
+    """Yield (query_id, (L, D) last-hidden row, true length) for every
+    query, through fixed (batch_size, corpus_max_len) dispatches — one
+    compiled program for the whole corpus (width rounded up to a sublane
+    multiple; short final batches pad with repeated rows)."""
+    enc = tokenizer([q for _, q in rows], padding=True, truncation=True,
+                    return_tensors="np")
+    ids_all = enc["input_ids"].astype(np.int32)
+    mask_all = enc["attention_mask"].astype(np.int32)
+    pad_w = (-ids_all.shape[1]) % 8
+    if pad_w:  # pad id is irrelevant: masked positions never attend
+        ids_all = np.pad(ids_all, ((0, 0), (0, pad_w)))
+        mask_all = np.pad(mask_all, ((0, 0), (0, pad_w)))
+    for i in range(0, len(rows), batch_size):
+        ids = ids_all[i : i + batch_size]
+        mask = mask_all[i : i + batch_size]
+        if len(ids) < batch_size:
+            reps = batch_size - len(ids)
+            ids = np.concatenate([ids, np.repeat(ids[-1:], reps, 0)])
+            mask = np.concatenate([mask, np.repeat(mask[-1:], reps, 0)])
+        hidden = hidden_fn(ids, mask)
+        for j, (qid, _) in enumerate(rows[i : i + batch_size]):
+            yield qid, hidden[j], int(mask[j].sum())
+
+
 def extract_roberta_text(jsonl_path: str, out_dir: str,
                          model_name: str = "roberta-base",
-                         batch_size: int = 32, device: str = "cpu") -> None:
+                         batch_size: int = 32, device: str = "cpu",
+                         engine: str = "torch",
+                         _model=None, _tokenizer=None) -> None:
     import torch
     from transformers import AutoModel, AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(model_name)
-    model = AutoModel.from_pretrained(model_name).to(device).eval()
+    tokenizer = _tokenizer or AutoTokenizer.from_pretrained(model_name)
+    model = (_model or AutoModel.from_pretrained(model_name)).eval()
 
     rows = _queries(jsonl_path)
     tokens, cls = {}, {}
+    if engine == "flax":
+        from transformers import FlaxRobertaModel
+
+        hidden_fn = _flax_last_hidden_fn(model, FlaxRobertaModel)
+        for qid, hidden, n in _encode_corpus_flax(rows, tokenizer,
+                                                  hidden_fn, batch_size):
+            tok = hidden[1 : n - 1]
+            tokens[qid] = tok
+            cls[qid] = tok.mean(0)
+        _write_stores(out_dir, tokens, cls)
+        return
+
+    model = model.to(device)
     with torch.no_grad():
         for i in range(0, len(rows), batch_size):
             chunk = rows[i : i + batch_size]
@@ -169,14 +234,18 @@ def extract_roberta_text(jsonl_path: str, out_dir: str,
 
 def extract_egovlp_text(jsonl_path: str, out_dir: str, checkpoint: str,
                         model_name: str = "distilbert-base-uncased",
-                        batch_size: int = 32, device: str = "cpu") -> None:
+                        batch_size: int = 32, device: str = "cpu",
+                        engine: str = "torch",
+                        _model=None, _tokenizer=None) -> None:
     """EgoVLP text tower: DistilBERT + linear projection from the EgoVLP
-    checkpoint ('txt_proj' weights in the released model)."""
+    checkpoint ('txt_proj' weights in the released model). engine="flax"
+    runs DistilBERT on the jax device; the tiny (768, 256) projection is a
+    host matmul either way."""
     import torch
     from transformers import AutoModel, AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(model_name)
-    model = AutoModel.from_pretrained(model_name).to(device).eval()
+    tokenizer = _tokenizer or AutoTokenizer.from_pretrained(model_name)
+    model = (_model or AutoModel.from_pretrained(model_name)).eval()
 
     state = torch.load(checkpoint, map_location="cpu")
     sd = state.get("state_dict", state)
@@ -185,6 +254,19 @@ def extract_egovlp_text(jsonl_path: str, out_dir: str, checkpoint: str,
 
     rows = _queries(jsonl_path)
     tokens, cls = {}, {}
+    if engine == "flax":
+        from transformers import FlaxDistilBertModel
+
+        pw, pb = proj_w.numpy(), proj_b.numpy()
+        hidden_fn = _flax_last_hidden_fn(model, FlaxDistilBertModel)
+        for qid, hidden, n in _encode_corpus_flax(rows, tokenizer,
+                                                  hidden_fn, batch_size):
+            tokens[qid] = hidden[1 : n - 1]
+            cls[qid] = hidden[0] @ pw.T + pb
+        _write_stores(out_dir, tokens, cls)
+        return
+
+    model = model.to(device)
     with torch.no_grad():
         for i in range(0, len(rows), batch_size):
             chunk = rows[i : i + batch_size]
