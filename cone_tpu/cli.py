@@ -307,7 +307,9 @@ def cmd_serve(args):
                                clip_engine=args.text_engine)
         encoder = pred.text_features
     service = MomentService(model, params, cfg, text_encoder=encoder,
-                            dataset=ds)
+                            dataset=ds,
+                            batch_window_ms=args.batch_window_ms,
+                            max_batch=args.max_batch)
     srv = make_server(service, host=args.host, port=args.port)
     print(f"serving {len(service.retriever.clip_ids)} videos on "
           f"http://{srv.server_address[0]}:{srv.server_address[1]}")
@@ -536,6 +538,12 @@ def main(argv=None):
                    help="accept raw-text queries by encoding them host-side"
                         " (omit: requests must carry token/cls features)")
     s.add_argument("--egovlp_checkpoint")
+    s.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="dynamic /search micro-batching: concurrent requests"
+                        " arriving within this window share one device sweep"
+                        " (0 = off, one dispatch per request)")
+    s.add_argument("--max_batch", type=int, default=32,
+                   help="micro-batching cap per device sweep")
     s.set_defaults(fn=cmd_serve)
 
     v = sub.add_parser("eval", help="recall tables from submission files"

@@ -23,6 +23,11 @@ send features binary: `token_features_b64` (base64 LE float32) +
 `token_shape` [Lq, Dt] + `cls_feature_b64` — decimal-text JSON measured
 slower than the retrieval itself at 64-query batches.
 
+With `batch_window_ms > 0` (cli serve --batch_window_ms) concurrent
+/search requests micro-batch server-side: the first arrival opens a short
+window and everything inside it shares one device sweep, so independent
+clients get /search_batch throughput without coordinating.
+
 No third-party server dependency: stdlib http.server is enough because the
 device lock serializes the hot path anyway; front-line TLS/auth belongs on
 whatever proxy fronts the pod.
@@ -40,16 +45,99 @@ from typing import Callable, Optional, Tuple
 import numpy as np
 
 
+class _MicroBatcher:
+    """Dynamic server-side batching for /search.
+
+    Concurrent single-query requests coalesce into ONE device sweep
+    (retriever.search_batch — pinned equal to per-query search by
+    tests/test_corpus_retrieval.py::test_search_batch_matches_single_searches):
+    the first arrival opens a window of `window_s`, everything that lands
+    inside it (up to `max_batch`) shares the coarse scans and the per-movie
+    fine packing. This is what /search_batch gives cooperating bulk clients
+    (12.3 -> 43.5 q/s measured, docs/RESULTS.md), without requiring clients
+    to coordinate. Requests with different (search_windows, top_moments)
+    options split into per-signature sub-batches.
+    """
+
+    def __init__(self, service: "MomentService", window_s: float,
+                 max_batch: int):
+        import queue
+
+        self.service = service
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._q: "queue.Queue" = queue.Queue()
+        self.batches = 0
+        self.batched_queries = 0
+        threading.Thread(target=self._loop, daemon=True,
+                         name="search-microbatcher").start()
+
+    def submit(self, tok, cls, query, search_windows, top_moments):
+        done = threading.Event()
+        slot: dict = {}
+        self._q.put((tok, cls, query, (search_windows, top_moments),
+                     done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _loop(self):
+        import queue
+
+        while True:
+            batch = [self._q.get()]
+            deadline = time.time() + self.window_s
+            while len(batch) < self.max_batch:
+                left = deadline - time.time()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            by_opts = defaultdict(list)
+            for item in batch:
+                by_opts[item[3]].append(item)
+            for (sw, tm), items in by_opts.items():
+                svc = self.service
+                try:
+                    with svc._device_lock:
+                        results = svc._timed(
+                            "search",
+                            lambda: svc.retriever.search_batch(
+                                [it[0] for it in items],
+                                np.stack([it[1] for it in items]),
+                                queries=[it[2] for it in items],
+                                search_windows=sw, top_moments=tm))
+                except Exception as e:  # propagate to every waiter
+                    for *_, done, slot in items:
+                        slot["error"] = e
+                        done.set()
+                else:
+                    self.batches += 1
+                    self.batched_queries += len(items)
+                    for it, res in zip(items, results):
+                        it[5]["result"] = res
+                        it[4].set()
+
+
 class MomentService:
     """Request-level wrapper over the serving components.
 
     text_encoder: optional `query_text -> (token_feats (Lq, Dt),
     cls_feat (Dt,))` (e.g. MomentPredictor.text_features) letting clients
     send raw text instead of features.
+
+    batch_window_ms > 0 enables dynamic /search micro-batching: the first
+    request opens a collection window and concurrent requests share one
+    device sweep (see _MicroBatcher). 0 (default) keeps one dispatch per
+    request — the latency-optimal setting for a single client.
     """
 
     def __init__(self, model, params, cfg, text_encoder: Optional[Callable] = None,
-                 dataset=None, mesh=None):
+                 dataset=None, mesh=None, batch_window_ms: float = 0.0,
+                 max_batch: int = 32):
         from cone_tpu.serve.corpus import CorpusRetriever
         from cone_tpu.serve.localizer import OnlineLocalizer
 
@@ -60,6 +148,8 @@ class MomentService:
         self._device_lock = threading.Lock()
         self._counts = defaultdict(int)
         self._lat_sum = defaultdict(float)
+        self.batcher = (_MicroBatcher(self, batch_window_ms / 1e3, max_batch)
+                        if batch_window_ms > 0 else None)
 
     # ------------------------------------------------------------ helpers
 
@@ -111,8 +201,14 @@ class MomentService:
             for c in self.retriever.clip_ids
             if c in self.retriever.pipe.ds._vid_cache
         )
-        return {"requests": dict(self._counts), "mean_latency_s": lat,
-                "videos": len(self.retriever.clip_ids), "total_clips": clips}
+        out = {"requests": dict(self._counts), "mean_latency_s": lat,
+               "videos": len(self.retriever.clip_ids), "total_clips": clips}
+        if self.batcher is not None:
+            b = self.batcher
+            out["dynamic_batching"] = {
+                "batches": b.batches, "batched_queries": b.batched_queries,
+                "mean_batch": round(b.batched_queries / max(b.batches, 1), 2)}
+        return out
 
     def add_video(self, payload: dict) -> dict:
         feats = np.asarray(payload["features"], np.float32)
@@ -126,11 +222,16 @@ class MomentService:
 
     def search(self, payload: dict) -> dict:
         tok, cls = self._text(payload)
-        with self._device_lock:
-            moments = self._timed("search", lambda: self.retriever.search(
-                tok, cls, query=payload.get("query", ""),
-                search_windows=payload.get("search_windows"),
-                top_moments=int(payload.get("top_moments", 10))))
+        sw = payload.get("search_windows")
+        tm = int(payload.get("top_moments", 10))
+        if self.batcher is not None:
+            moments = self.batcher.submit(tok, cls, payload.get("query", ""),
+                                          sw, tm)
+        else:
+            with self._device_lock:
+                moments = self._timed("search", lambda: self.retriever.search(
+                    tok, cls, query=payload.get("query", ""),
+                    search_windows=sw, top_moments=tm))
         for m in moments:  # tuples -> lists for JSON
             m["span"] = [float(m["span"][0]), float(m["span"][1])]
         return {"moments": moments}

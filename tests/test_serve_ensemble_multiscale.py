@@ -281,6 +281,90 @@ def test_http_server_roundtrip(cfg, rng):
         srv.server_close()
 
 
+def test_http_search_microbatching(cfg, rng):
+    """batch_window_ms > 0: concurrent /search requests coalesce into one
+    device sweep (stats show batches < requests), each answer matching its
+    own query; different top_moments split into per-signature sub-batches.
+    """
+    import json
+    import threading
+    import urllib.request
+
+    from cone_tpu.serve.server import MomentService, make_server
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    # window far above the enqueue cost of 4 local threads, max_batch small
+    # enough that a full window fires immediately once all requests land
+    service = MomentService(model, params, cfg, batch_window_ms=2000.0,
+                            max_batch=3)
+
+    cls_a = rng.normal(size=(DIM,)).astype(np.float32)
+    cls_a /= np.linalg.norm(cls_a)
+    cls_b = rng.normal(size=(DIM,)).astype(np.float32)
+    cls_b -= cls_a * (cls_b @ cls_a)  # orthogonal plants
+    cls_b /= np.linalg.norm(cls_b)
+    va = rng.normal(size=(150, DIM)).astype(np.float32)
+    vb = rng.normal(size=(150, DIM)).astype(np.float32)
+    va[30:50] += 5.0 * cls_a
+    vb[100:120] += 5.0 * cls_b
+    service.retriever.add_video("a", va)
+    service.retriever.add_video("b", vb)
+
+    tok = rng.normal(size=(6, DIM)).astype(np.float32)
+    # warm the compiled sweep so collection timing isn't compile-bound
+    service.retriever.search_batch([tok], cls_a[None], top_moments=5)
+
+    srv = make_server(service, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+
+    def post(path, payload, out, i):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out[i] = (r.status, json.loads(r.read()))
+
+    try:
+        reqs = [
+            {"cls": cls_a, "video": "a", "lo": 30, "hi": 50, "tm": 5},
+            {"cls": cls_b, "video": "b", "lo": 100, "hi": 120, "tm": 5},
+            {"cls": cls_a, "video": "a", "lo": 30, "hi": 50, "tm": 3},
+        ]
+        out = [None] * len(reqs)
+        threads = [
+            threading.Thread(target=post, args=("/search", {
+                "token_features": tok.tolist(),
+                "cls_feature": r["cls"].tolist(),
+                "top_moments": r["tm"]}, out, i))
+            for i, r in enumerate(reqs)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+
+        for r, got in zip(reqs, out):
+            status, body = got
+            assert status == 200
+            moments = body["moments"]
+            assert 1 <= len(moments) <= r["tm"]
+            best = max(moments, key=lambda m: m["match"])
+            assert best["video_id"] == r["video"], (r, moments)
+            assert best["span"][0] < r["hi"] and best["span"][1] > r["lo"] - 5
+
+        with urllib.request.urlopen(base + "/stats", timeout=300) as resp:
+            stats = json.loads(resp.read())
+        dyn = stats["dynamic_batching"]
+        assert dyn["batched_queries"] == 3
+        # 3 requests coalesced: 2 sub-batches max (one per top_moments
+        # signature), strictly fewer sweeps than requests
+        assert 1 <= dyn["batches"] <= 2, dyn
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_clip_predictor_engines_match(cfg, tmp_path, monkeypatch):
     """backend="clip": torch vs flax engines produce the same moments —
     the demo path is TPU-native end-to-end with clip_engine="flax"."""
