@@ -84,6 +84,7 @@ class GroundingDataset:
         self.cfg = cfg
         self.stride = cfg.max_v_l // 2
         self._vid_cache: Dict[str, tuple] = {}
+        self._pinned: set = set()
 
     def __len__(self):
         return len(self.examples)
@@ -116,10 +117,21 @@ class GroundingDataset:
                 # FIFO eviction: the reference RAM-caches EVERY video up
                 # front (ego4d_mad_dataloader.py:97-111) which is tens of
                 # GB at MAD scale; a bound keeps host RSS flat (a re-read
-                # is one mmap slice + L2 normalize, ~ms)
-                self._vid_cache.pop(next(iter(self._vid_cache)))
+                # is one mmap slice + L2 normalize, ~ms). Pinned entries
+                # (serving add_video/append_video — no backing store to
+                # re-read from) are never evicted.
+                for k in self._vid_cache:
+                    if k not in self._pinned:
+                        self._vid_cache.pop(k)
+                        break
             self._vid_cache[clip_id] = (ap, mo)
         return self._vid_cache[clip_id]
+
+    def pin_video(self, clip_id: str, ap: np.ndarray, mo: np.ndarray) -> None:
+        """Install (already-normalized) features for a video that has no
+        backing store entry (serving ingest); exempt from cache eviction."""
+        self._vid_cache[clip_id] = (ap, mo)
+        self._pinned.add(clip_id)
 
     def prefetch_videos(self, clip_ids) -> None:
         """Hint the backing store to page-warm upcoming videos (no-op for

@@ -162,12 +162,50 @@ class CorpusRetriever:
             assert len(mo) == len(ap), (clip_id, len(ap), len(mo))
             if self.cfg.data.normalize_v:
                 mo = l2_normalize(mo)
-        self.pipe.ds._vid_cache[clip_id] = (ap, mo)
+        self.pipe.ds.pin_video(clip_id, ap, mo)  # eviction-exempt: no store
         self.pipe._dev_cache = getattr(self.pipe, "_dev_cache", {})
         self.pipe._dev_cache.pop(clip_id, None)
         self._stacked = None  # rebuild the stacked corpus lazily
         if clip_id not in self.clip_ids:
             self.clip_ids.append(clip_id)
+
+    def append_video(self, clip_id: str, feats: np.ndarray,
+                     motion_feats: Optional[np.ndarray] = None) -> int:
+        """Streaming ingest: extend a RESIDENT video's timeline with new
+        (L_new, D) clip features (a live feed growing between searches).
+        Bit-identical to add_video() of the full concatenation — only the
+        new rows normalize, the grown video re-encodes/re-uploads lazily on
+        the next search, and every earlier moment keeps its timestamps
+        (windows are anchored at the video start). Returns the new length.
+        No reference counterpart (the reference grounds only complete,
+        pre-extracted videos)."""
+        from cone_tpu.utils.io import l2_normalize
+
+        ap_old, mo_old = self.pipe.ds.video_features(clip_id)
+        dual = mo_old is not ap_old
+        assert not (dual and motion_feats is None), (
+            f"{clip_id} is dual-stream: append needs motion_feats")
+        ap_new = np.asarray(feats, np.float32)
+        if self.cfg.data.normalize_v:
+            ap_new = l2_normalize(ap_new)
+        ap = np.concatenate([ap_old, ap_new])
+        if dual or motion_feats is not None:
+            mo_new = np.asarray(motion_feats, np.float32)
+            assert len(mo_new) == len(ap_new), (clip_id, len(ap_new),
+                                                len(mo_new))
+            if self.cfg.data.normalize_v:
+                mo_new = l2_normalize(mo_new)
+            mo = np.concatenate([mo_old, mo_new])
+        else:
+            mo = ap
+        assert len(ap) <= self.cfg.data.max_ctx_l, (
+            f"{clip_id} grew past data.max_ctx_l "
+            f"({len(ap)} > {self.cfg.data.max_ctx_l})")
+        self.pipe.ds.pin_video(clip_id, ap, mo)
+        self.pipe._dev_cache = getattr(self.pipe, "_dev_cache", {})
+        self.pipe._dev_cache.pop(clip_id, None)
+        self._stacked = None
+        return len(ap)
 
     # -------------------------------------------------------------- search
 

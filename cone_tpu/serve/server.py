@@ -11,6 +11,8 @@ Endpoints (all JSON):
   GET  /healthz    {"ok", "backend", "videos"}
   GET  /stats      request counters, per-endpoint mean latency, corpus size
   POST /add_video  {"clip_id", "features": [[...]], "motion_features"?}
+  POST /append_video {"clip_id", "features", "motion_features"?}
+                   (streaming ingest: grow a resident video's timeline)
   POST /search     {"token_features", "cls_feature", "query"?,
                     "top_moments"?, "search_windows"?}   -> corpus ranking
   POST /search_batch {"queries": [...per-query dicts...],
@@ -220,6 +222,17 @@ class MomentService:
         return {"ok": True, "clip_id": payload["clip_id"],
                 "clips": len(feats)}
 
+    def append_video(self, payload: dict) -> dict:
+        """Streaming ingest: grow a resident video's timeline (live feeds);
+        searches after this see the extended video."""
+        feats = np.asarray(payload["features"], np.float32)
+        motion = payload.get("motion_features")
+        motion = None if motion is None else np.asarray(motion, np.float32)
+        with self._device_lock:
+            n = self._timed("append_video", lambda: self.retriever.append_video(
+                payload["clip_id"], feats, motion_feats=motion))
+        return {"ok": True, "clip_id": payload["clip_id"], "clips": n}
+
     def search(self, payload: dict) -> dict:
         tok, cls = self._text(payload)
         sw = payload.get("search_windows")
@@ -279,6 +292,8 @@ class MomentService:
                 return 200, self.stats()
             if method == "POST" and path == "/add_video":
                 return 200, self.add_video(payload)
+            if method == "POST" and path == "/append_video":
+                return 200, self.append_video(payload)
             if method == "POST" and path == "/search":
                 return 200, self.search(payload)
             if method == "POST" and path == "/search_batch":

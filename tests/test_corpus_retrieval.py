@@ -100,6 +100,40 @@ def test_add_video_expands_the_corpus(cfg, ds):
     assert out and all(o["video_id"] == "fresh" for o in out)
 
 
+def test_append_video_streaming_ingest(cfg, ds):
+    """append_video == add_video of the full concatenation (bit-identical
+    search results), and a segment planted in the appended tail is found at
+    its post-append offset — the live-feed contract."""
+    model, params = build_model_and_params(cfg.model, seed=0)
+    rng = np.random.default_rng(7)
+    old = rng.standard_normal((96, DIM)).astype(np.float32)
+    new = rng.standard_normal((64, DIM)).astype(np.float32)
+    ex = ds.examples[0]
+    tok, cls = ds.query_features(ex.query_id)
+    # plant the query signal ONLY in the appended tail, at clips [120, 140)
+    new[24:44] += 3.0 * cls / np.linalg.norm(cls)
+
+    grown = CorpusRetriever(model, params, cfg)
+    grown.add_video("live", old)
+    pre = grown.search(tok, cls)  # forces stacking of the pre-append corpus
+    assert all(o["span"][1] <= 96.0 + 1e-6 for o in pre)
+    n = grown.append_video("live", new)
+    assert n == 160
+
+    rebuilt = CorpusRetriever(model, params, cfg)
+    rebuilt.add_video("live", np.concatenate([old, new]))
+
+    a = grown.search(tok, cls, top_moments=5)
+    b = rebuilt.search(tok, cls, top_moments=5)
+    assert a == b, "append must equal a from-scratch rebuild"
+    best = max(a, key=lambda o: o["match"])
+    assert best["span"][0] < 140 and best["span"][1] > 115, a
+
+    # a video unknown to the corpus cannot be appended to
+    with pytest.raises(KeyError):
+        grown.append_video("nope", new)
+
+
 def test_search_with_int8_corpus_agrees_on_top_video(cfg, ds):
     """Retrieval composes with the quantized corpus: the top-ranked video
     matches the fp32 retriever for every query (strong signal)."""

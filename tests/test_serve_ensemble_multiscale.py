@@ -263,18 +263,29 @@ def test_http_server_roundtrip(cfg, rng):
         batch0 = body["results"][0]["moments"]
         assert [m["span"] for m in batch0] == [m["span"] for m in moments]
 
+        # streaming ingest: grow video a's timeline; the corpus reflects it
+        status, body = post("/append_video", {
+            "clip_id": "a",
+            "features": rng.normal(size=(40, DIM)).astype(np.float32).tolist(),
+        })
+        assert status == 200 and body["clips"] == 190
+
         status, stats = get("/stats")
         assert status == 200
-        assert stats["videos"] == 2 and stats["total_clips"] == 300
+        assert stats["videos"] == 2 and stats["total_clips"] == 340
         assert stats["requests"] == {"add_video": 2, "search": 1,
-                                     "localize": 1, "search_batch": 1}
+                                     "localize": 1, "search_batch": 1,
+                                     "append_video": 1}
         assert all(v >= 0 for v in stats["mean_latency_s"].values())
 
-        # errors: bad route, missing fields, no text encoder
+        # errors: bad route, missing fields, no text encoder, unknown video
         assert post("/nope", {})[0] == 404
         status, body = post("/search", {"query": "text only"})
         assert status == 400 and "text encoder" in body["error"]
         status, body = post("/add_video", {"clip_id": "x"})
+        assert status == 400 and "KeyError" in body["error"]
+        status, body = post("/append_video",
+                            {"clip_id": "unknown", "features": [[0.0] * DIM]})
         assert status == 400 and "KeyError" in body["error"]
     finally:
         srv.shutdown()
