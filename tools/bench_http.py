@@ -109,6 +109,28 @@ def main():
     print(f"/search 8 threads: {n} reqs in {dt:.2f}s"
           f" -> {n / dt:.2f} req/s", file=sys.stderr)
 
+    # dynamic micro-batching (cli serve --batch_window_ms): the same 8
+    # concurrent clients, but arrivals inside a 20 ms window share one
+    # search_batch device sweep (serve/server.py _MicroBatcher)
+    from cone_tpu.serve.server import _MicroBatcher
+
+    service.batcher = _MicroBatcher(service, 0.02, 32)
+    with ThreadPoolExecutor(8) as pool:  # warm the batched-sweep programs
+        list(pool.map(lambda q: post("/search", q), qs[:8]))
+    with ThreadPoolExecutor(8) as pool:
+        t0 = time.time()
+        list(pool.map(lambda q: post("/search", q),
+                      [qs[i % len(qs)] for i in range(n)]))
+        dt = time.time() - t0
+    b = service.batcher
+    results["concurrent8_microbatched_qps"] = round(n / dt, 2)
+    results["mean_dyn_batch"] = round(
+        b.batched_queries / max(b.batches, 1), 2)
+    print(f"/search 8 threads + micro-batching: {n} reqs in {dt:.2f}s"
+          f" -> {n / dt:.2f} req/s (mean batch "
+          f"{results['mean_dyn_batch']})", file=sys.stderr)
+    service.batcher = None
+
     for _ in range(2):  # second run = steady state
         t0 = time.time()
         body = post("/search_batch", {"queries": qs, "top_moments": 5})
