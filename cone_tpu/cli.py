@@ -310,6 +310,9 @@ def cmd_serve(args):
                             dataset=ds,
                             batch_window_ms=args.batch_window_ms,
                             max_batch=args.max_batch)
+    if args.load_corpus:
+        n = service.retriever.load_corpus(args.load_corpus)
+        print(f"loaded {n} videos from {args.load_corpus}")
     srv = make_server(service, host=args.host, port=args.port)
     print(f"serving {len(service.retriever.clip_ids)} videos on "
           f"http://{srv.server_address[0]}:{srv.server_address[1]}")
@@ -544,6 +547,10 @@ def main(argv=None):
                         " (0 = off, one dispatch per request)")
     s.add_argument("--max_batch", type=int, default=32,
                    help="micro-batching cap per device sweep")
+    s.add_argument("--load_corpus",
+                   help="directory written by /save_corpus (or"
+                        " CorpusRetriever.save_corpus) to rebuild the"
+                        " serving library from at startup")
     s.set_defaults(fn=cmd_serve)
 
     v = sub.add_parser("eval", help="recall tables from submission files"

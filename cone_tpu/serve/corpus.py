@@ -207,6 +207,63 @@ class CorpusRetriever:
         self._stacked = None
         return len(ap)
 
+    def remove_video(self, clip_id: str) -> None:
+        """Evict one video from the serving library (its share of HBM is
+        reclaimed at the next search's lazy restack). Raises ValueError for
+        ids not in the library. A dataset-backed video is only evicted from
+        the LIBRARY — the backing store is untouched."""
+        self.clip_ids.remove(clip_id)
+        self.pipe.ds._vid_cache.pop(clip_id, None)
+        self.pipe.ds._pinned.discard(clip_id)
+        self.pipe._dev_cache = getattr(self.pipe, "_dev_cache", {})
+        self.pipe._dev_cache.pop(clip_id, None)
+        self._stacked = None
+
+    def save_corpus(self, dir_path: str) -> int:
+        """Persist the resident library to packed .cfs stores
+        (`appearance.cfs` + `motion.cfs` when dual-stream) so a server
+        restart — or another replica — rebuilds it with load_corpus().
+        Live-ingested videos (add_video/append_video) have no backing
+        store; this is their durability path. Stored features are the
+        normalized resident arrays, so the reload is bit-exact."""
+        import os
+
+        from cone_tpu.data.store import write_packed_store
+
+        appear, motion, dual = {}, {}, False
+        for cid in self.clip_ids:
+            ap, mo = self.pipe.ds.video_features(cid)
+            appear[cid], motion[cid] = ap, mo
+            dual = dual or (mo is not ap)
+        os.makedirs(dir_path, exist_ok=True)
+        write_packed_store(os.path.join(dir_path, "appearance.cfs"), appear)
+        if dual:
+            write_packed_store(os.path.join(dir_path, "motion.cfs"), motion)
+        return len(appear)
+
+    def load_corpus(self, dir_path: str) -> int:
+        """Rebuild a save_corpus() library: every stored video pins into
+        the dataset cache exactly as saved (no re-normalization) and
+        uploads lazily on the next search."""
+        import os
+
+        from cone_tpu.data.store import PackedArrayStore
+
+        ap_store = PackedArrayStore(os.path.join(dir_path, "appearance.cfs"))
+        mo_path = os.path.join(dir_path, "motion.cfs")
+        mo_store = PackedArrayStore(mo_path) if os.path.exists(mo_path) else None
+        self.pipe._dev_cache = getattr(self.pipe, "_dev_cache", {})
+        for cid in sorted(ap_store.keys()):
+            ap = np.ascontiguousarray(ap_store.get(cid), dtype=np.float32)
+            mo = (np.ascontiguousarray(mo_store.get(cid), dtype=np.float32)
+                  if mo_store is not None and cid in mo_store else ap)
+            self.pipe.ds.pin_video(cid, ap, mo)
+            self.pipe._dev_cache.pop(cid, None)
+            if cid not in self.clip_ids:
+                self.clip_ids.append(cid)
+        self._stacked = None
+        return len(list(ap_store.keys()))
+
     # -------------------------------------------------------------- search
 
     def rank_videos(self, cls_feat: np.ndarray) -> List[tuple]:

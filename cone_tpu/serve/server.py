@@ -13,6 +13,9 @@ Endpoints (all JSON):
   POST /add_video  {"clip_id", "features": [[...]], "motion_features"?}
   POST /append_video {"clip_id", "features", "motion_features"?}
                    (streaming ingest: grow a resident video's timeline)
+  POST /remove_video {"clip_id"}       evict from the serving library
+  POST /save_corpus  {"dir"}           persist the library (.cfs stores)
+  POST /load_corpus  {"dir"}           rebuild a saved library
   POST /search     {"token_features", "cls_feature", "query"?,
                     "top_moments"?, "search_windows"?}   -> corpus ranking
   POST /search_batch {"queries": [...per-query dicts...],
@@ -233,6 +236,30 @@ class MomentService:
                 payload["clip_id"], feats, motion_feats=motion))
         return {"ok": True, "clip_id": payload["clip_id"], "clips": n}
 
+    def remove_video(self, payload: dict) -> dict:
+        """Evict a video from the serving library (HBM reclaimed at the
+        next search's restack)."""
+        with self._device_lock:
+            self._timed("remove_video",
+                        lambda: self.retriever.remove_video(payload["clip_id"]))
+        return {"ok": True, "clip_id": payload["clip_id"],
+                "videos": len(self.retriever.clip_ids)}
+
+    def save_corpus(self, payload: dict) -> dict:
+        """Persist the resident library to `dir` (server-side path) — the
+        durability path for live-ingested videos."""
+        with self._device_lock:
+            n = self._timed("save_corpus",
+                            lambda: self.retriever.save_corpus(payload["dir"]))
+        return {"ok": True, "videos": n, "dir": payload["dir"]}
+
+    def load_corpus(self, payload: dict) -> dict:
+        with self._device_lock:
+            n = self._timed("load_corpus",
+                            lambda: self.retriever.load_corpus(payload["dir"]))
+        return {"ok": True, "videos_loaded": n,
+                "videos": len(self.retriever.clip_ids)}
+
     def search(self, payload: dict) -> dict:
         tok, cls = self._text(payload)
         sw = payload.get("search_windows")
@@ -294,6 +321,12 @@ class MomentService:
                 return 200, self.add_video(payload)
             if method == "POST" and path == "/append_video":
                 return 200, self.append_video(payload)
+            if method == "POST" and path == "/remove_video":
+                return 200, self.remove_video(payload)
+            if method == "POST" and path == "/save_corpus":
+                return 200, self.save_corpus(payload)
+            if method == "POST" and path == "/load_corpus":
+                return 200, self.load_corpus(payload)
             if method == "POST" and path == "/search":
                 return 200, self.search(payload)
             if method == "POST" and path == "/search_batch":
@@ -301,9 +334,11 @@ class MomentService:
             if method == "POST" and path == "/localize":
                 return 200, self.localize(payload)
             return 404, {"error": f"no route {method} {path}"}
-        except (KeyError, AssertionError, ValueError, TypeError) as e:
+        except (KeyError, AssertionError, ValueError, TypeError,
+                OSError) as e:
             # TypeError covers malformed binary fields (non-string b64,
-            # non-list token_shape) — same 400 as other bad payloads
+            # non-list token_shape); OSError covers save/load_corpus paths
+            # — same 400 as other bad payloads
             return 400, {"error": f"{type(e).__name__}: {e}"}
 
 

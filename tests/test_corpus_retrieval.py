@@ -134,6 +134,41 @@ def test_append_video_streaming_ingest(cfg, ds):
         grown.append_video("nope", new)
 
 
+def test_remove_video_and_corpus_persistence(cfg, ds, tmp_path):
+    """The full library lifecycle: remove evicts a video from search
+    results; save_corpus -> load_corpus in a fresh retriever reproduces
+    search results bit-exactly (the durability path for live ingest)."""
+    model, params = build_model_and_params(cfg.model, seed=0)
+    rng = np.random.default_rng(21)
+    ex = ds.examples[0]
+    tok, cls = ds.query_features(ex.query_id)
+    clsn = cls / np.linalg.norm(cls)
+
+    r = CorpusRetriever(model, params, cfg)
+    va = rng.standard_normal((100, DIM)).astype(np.float32)
+    vb = rng.standard_normal((120, DIM)).astype(np.float32)
+    vb[40:60] += 3.0 * clsn
+    r.add_video("a", va)
+    r.add_video("b", vb)
+    before = r.search(tok, cls)
+    assert any(o["video_id"] == "b" for o in before)
+
+    # persist, then rebuild in a FRESH retriever: identical results
+    n = r.save_corpus(str(tmp_path / "lib"))
+    assert n == 2
+    fresh = CorpusRetriever(model, params, cfg)
+    assert fresh.load_corpus(str(tmp_path / "lib")) == 2
+    assert fresh.search(tok, cls) == before
+
+    # evict the planted video: no result mentions it anymore
+    r.remove_video("b")
+    assert r.clip_ids == ["a"]
+    after = r.search(tok, cls)
+    assert after and all(o["video_id"] == "a" for o in after)
+    with pytest.raises(ValueError):
+        r.remove_video("b")
+
+
 def test_search_with_int8_corpus_agrees_on_top_video(cfg, ds):
     """Retrieval composes with the quantized corpus: the top-ranked video
     matches the fp32 retriever for every query (strong signal)."""

@@ -177,7 +177,7 @@ def test_egovlp_predictor_end_to_end(cfg, tmp_path, monkeypatch):
     assert seen_fps == [(2.0, 16)]  # second call hit the cache
 
 
-def test_http_server_roundtrip(cfg, rng):
+def test_http_server_roundtrip(cfg, rng, tmp_path):
     """serve/server.py: add_video -> search and localize over real HTTP,
     plus health/stats and error handling."""
     import json
@@ -287,6 +287,18 @@ def test_http_server_roundtrip(cfg, rng):
         status, body = post("/append_video",
                             {"clip_id": "unknown", "features": [[0.0] * DIM]})
         assert status == 400 and "KeyError" in body["error"]
+
+        # library lifecycle over HTTP: persist, evict, reload
+        status, body = post("/save_corpus", {"dir": str(tmp_path / "lib")})
+        assert status == 200 and body["videos"] == 2
+        status, body = post("/remove_video", {"clip_id": "a"})
+        assert status == 200 and body["videos"] == 1
+        status, body = post("/remove_video", {"clip_id": "a"})
+        assert status == 400 and "ValueError" in body["error"]
+        status, body = post("/load_corpus", {"dir": str(tmp_path / "lib")})
+        assert status == 200 and body["videos"] == 2  # a restored
+        status, body = post("/load_corpus", {"dir": str(tmp_path / "nope")})
+        assert status == 400
     finally:
         srv.shutdown()
         srv.server_close()
