@@ -230,14 +230,15 @@ class CorpusRetriever:
 
         from cone_tpu.data.store import write_packed_store
 
-        appear, motion, dual = {}, {}, False
+        appear, motion = {}, {}
         for cid in self.clip_ids:
             ap, mo = self.pipe.ds.video_features(cid)
-            appear[cid], motion[cid] = ap, mo
-            dual = dual or (mo is not ap)
+            appear[cid] = ap
+            if mo is not ap:  # only truly-dual videos carry a motion row —
+                motion[cid] = mo  # single-stream ones reload as one array
         os.makedirs(dir_path, exist_ok=True)
         write_packed_store(os.path.join(dir_path, "appearance.cfs"), appear)
-        if dual:
+        if motion:
             write_packed_store(os.path.join(dir_path, "motion.cfs"), motion)
         return len(appear)
 

@@ -168,6 +168,20 @@ def test_remove_video_and_corpus_persistence(cfg, ds, tmp_path):
     with pytest.raises(ValueError):
         r.remove_video("b")
 
+    # mixed corpus: dual-stream videos keep their motion stream across the
+    # round trip, single-stream ones reload as ONE shared array
+    r2 = CorpusRetriever(model, params, cfg)
+    r2.add_video("d", rng.standard_normal((50, DIM)).astype(np.float32),
+                 motion_feats=rng.standard_normal((50, DIM)).astype(np.float32))
+    r2.add_video("s", rng.standard_normal((40, DIM)).astype(np.float32))
+    r2.save_corpus(str(tmp_path / "lib2"))
+    f2 = CorpusRetriever(model, params, cfg)
+    assert f2.load_corpus(str(tmp_path / "lib2")) == 2
+    ap_d, mo_d = f2.pipe.ds.video_features("d")
+    assert mo_d is not ap_d and not np.allclose(ap_d, mo_d)
+    ap_s, mo_s = f2.pipe.ds.video_features("s")
+    assert mo_s is ap_s
+
 
 def test_search_with_int8_corpus_agrees_on_top_video(cfg, ds):
     """Retrieval composes with the quantized corpus: the top-ranked video
