@@ -722,3 +722,18 @@ class InferencePipeline:
         else:
             subs = {"fusion": self.postprocess_device(rows)}
         return subs, ranklists
+
+
+def make_pipeline(model, params, dataset, cfg: ConeConfig, mesh=None):
+    """Family-dispatching pipeline constructor: the CONE pipeline, or the
+    2D-TAN one (its own fine stage: score-map cells + within-window NMS)
+    when cfg.model.model_family == "tan". Used by the train loop and every
+    serving surface so a TAN workdir serves exactly like a CONE one."""
+    if cfg.model.model_family == "tan":
+        from cone_tpu.eval.tan_pipeline import TanInferencePipeline
+
+        return TanInferencePipeline(
+            model, params, dataset, cfg, cfg.tan,
+            proposal_top_k=cfg.tan.proposal_top_k, mesh=mesh,
+        )
+    return InferencePipeline(model, params, dataset, cfg, mesh=mesh)

@@ -35,7 +35,7 @@ import numpy as np
 from cone_tpu.config import ConeConfig
 from cone_tpu.data.dataset import GroundingDataset
 from cone_tpu.data.store import InMemoryArrayStore, TextFeatureStore
-from cone_tpu.eval.pipeline import InferencePipeline
+from cone_tpu.eval.pipeline import make_pipeline
 from cone_tpu.ops.nms import temporal_nms_host
 from cone_tpu.ops.windows import num_windows
 from cone_tpu.utils.io import min_max_normalize
@@ -68,8 +68,9 @@ class CorpusRetriever:
         ds = dataset if dataset is not None else self._empty_ds()
         # the pipeline's mesh shardings also cover the fine program (its
         # query-lane axis shards over dp; the sliced movie inputs reshard
-        # to replicated automatically via the jit in_shardings)
-        self.pipe = InferencePipeline(model, params, ds, cfg, mesh=mesh)
+        # to replicated automatically via the jit in_shardings); the
+        # family-dispatching constructor lets a TAN model serve the corpus
+        self.pipe = make_pipeline(model, params, ds, cfg, mesh=mesh)
         self.clip_ids: List[str] = (
             sorted({e.clip_id for e in ds.examples}) if dataset is not None
             else []

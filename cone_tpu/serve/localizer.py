@@ -23,7 +23,7 @@ import numpy as np
 from cone_tpu.config import ConeConfig
 from cone_tpu.data.dataset import GroundingDataset, QueryExample
 from cone_tpu.data.store import InMemoryArrayStore, TextFeatureStore
-from cone_tpu.eval.pipeline import InferencePipeline
+from cone_tpu.eval.pipeline import make_pipeline
 
 
 class OnlineLocalizer:
@@ -37,7 +37,8 @@ class OnlineLocalizer:
             np.zeros((cfg.model.t_feat_dim,), np.float32),
             "warmup",
         )
-        self.pipe = InferencePipeline(model, params, ds, cfg, mesh=mesh)
+        # family-dispatching: a TAN workdir serves exactly like a CONE one
+        self.pipe = make_pipeline(model, params, ds, cfg, mesh=mesh)
 
     def _make_ds(self, video_feats, token_feats, cls_feat, query: str):
         cfg = self.cfg

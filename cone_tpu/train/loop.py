@@ -27,7 +27,6 @@ from cone_tpu.eval.metrics import (
     evaluate_window_ranklists,
     mean_first_iou,
 )
-from cone_tpu.eval.pipeline import InferencePipeline
 from cone_tpu.models.init import build_model_and_params
 from cone_tpu.parallel.mesh import shard_batch
 from cone_tpu.train.checkpoint import CheckpointManager
@@ -77,14 +76,9 @@ def build_family(cfg: ConeConfig, seed: int):
 
 
 def _make_pipeline(model, params, eval_ds, cfg, mesh):
-    if cfg.model.model_family == "tan":
-        from cone_tpu.eval.tan_pipeline import TanInferencePipeline
+    from cone_tpu.eval.pipeline import make_pipeline
 
-        return TanInferencePipeline(
-            model, params, eval_ds, cfg, cfg.tan,
-            proposal_top_k=cfg.tan.proposal_top_k, mesh=mesh,
-        )
-    return InferencePipeline(model, params, eval_ds, cfg, mesh=mesh)
+    return make_pipeline(model, params, eval_ds, cfg, mesh=mesh)
 
 
 def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,

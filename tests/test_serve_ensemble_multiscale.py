@@ -59,6 +59,49 @@ def test_online_localizer(cfg, rng):
     assert st < 120 and ed > 95, out3
 
 
+def test_serving_surfaces_dispatch_tan_family(rng):
+    """make_pipeline lets a TAN workdir serve like a CONE one: the online
+    localizer and corpus retriever run the TAN fine stage (score-map cells,
+    within-window NMS) end to end."""
+    from cone_tpu.config import TanConfig
+    from cone_tpu.serve.corpus import CorpusRetriever
+    from cone_tpu.train.loop import build_family
+
+    tan = TanConfig(
+        num_clips=32, hidden_size=48, v_feat_dim=DIM, t_feat_dim=DIM,
+        txt_hidden_size=48, lstm_layers=2, num_scale_layers=(8, 4),
+        map_hidden_sizes=(48, 48), map_kernel_sizes=(5, 5), map_paddings=(4, 0),
+    )
+    cfg = ConeConfig(
+        model=ModelConfig(model_family="tan", t_feat_dim=DIM,
+                          v_motion_feat_dim=DIM, v_appear_feat_dim=DIM,
+                          max_q_l=8, max_v_l=32),
+        tan=tan,
+        data=DataConfig(max_v_l=32, max_q_l=8, clip_length=1.0,
+                        topk_window=4, max_ctx_l=256),
+        eval=EvalConfig(query_chunk=2),
+    )
+    model, params = build_family(cfg, seed=0)
+
+    from cone_tpu.eval.tan_pipeline import TanInferencePipeline
+
+    loc = OnlineLocalizer(model, params, cfg)
+    assert isinstance(loc.pipe, TanInferencePipeline)
+    tok = rng.normal(size=(6, DIM)).astype(np.float32)
+    cls = rng.normal(size=(DIM,)).astype(np.float32)
+    out = loc.localize(rng.normal(size=(120, DIM)).astype(np.float32),
+                       tok, cls, query="tan served")
+    assert 1 <= len(out) <= cfg.eval.max_after_nms
+    for st, ed, *_ in out:
+        assert st <= ed + 1e-6
+
+    r = CorpusRetriever(model, params, cfg)
+    assert isinstance(r.pipe, TanInferencePipeline)
+    r.add_video("v", rng.normal(size=(100, DIM)).astype(np.float32))
+    moments = r.search(tok, cls)
+    assert moments and all(m["video_id"] == "v" for m in moments)
+
+
 def test_top1_generator_clusters():
     rows = [
         [10.0, 14.0, 0, 0, 1.0],
