@@ -101,9 +101,15 @@ class _MicroBatcher:
                     batch.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            by_opts = defaultdict(list)
-            for item in batch:
-                by_opts[item[3]].append(item)
+            try:
+                by_opts = defaultdict(list)
+                for item in batch:
+                    by_opts[item[3]].append(item)
+            except Exception as e:  # unhashable options — endpoint coercion
+                for *_, done, slot in batch:  # makes this unreachable, but a
+                    slot["error"] = e         # dead batcher thread would hang
+                    done.set()                # every later /search forever
+                continue
             for (sw, tm), items in by_opts.items():
                 svc = self.service
                 try:
@@ -262,7 +268,11 @@ class MomentService:
 
     def search(self, payload: dict) -> dict:
         tok, cls = self._text(payload)
+        # coerce BEFORE submit: an unhashable search_windows (e.g. a list)
+        # reaching the batcher's by-options grouping would kill the batcher
+        # thread and hang every later /search — fail the request here (400)
         sw = payload.get("search_windows")
+        sw = None if sw is None else int(sw)
         tm = int(payload.get("top_moments", 10))
         if self.batcher is not None:
             moments = self.batcher.submit(tok, cls, payload.get("query", ""),

@@ -426,6 +426,25 @@ def test_http_search_microbatching(cfg, rng):
         # 3 requests coalesced: 2 sub-batches max (one per top_moments
         # signature), strictly fewer sweeps than requests
         assert 1 <= dyn["batches"] <= 2, dyn
+
+        # malformed search_windows must 400 at the endpoint (unhashable
+        # options reaching the batcher would kill its thread and hang every
+        # later /search) — and a valid request afterwards must still work
+        bad = {"token_features": tok.tolist(),
+               "cls_feature": cls_a.tolist(), "search_windows": ["x"]}
+        req = urllib.request.Request(
+            base + "/search", data=json.dumps(bad).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        alive = [None]
+        post("/search", {"token_features": tok.tolist(),
+                         "cls_feature": cls_a.tolist(), "top_moments": 5},
+             alive, 0)
+        assert alive[0][0] == 200 and alive[0][1]["moments"]
     finally:
         srv.shutdown()
         srv.server_close()
