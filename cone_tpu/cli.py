@@ -35,23 +35,22 @@ def _apply_overrides(cfg, sets):
 
 
 def _load_cfg(args):
-    from cone_tpu.config import (
-        ConeConfig, ego4d_config, ego4d_scratch_config, mad_config,
-        mad_scratch_config,
-    )
+    from cone_tpu import config as C
 
+    presets = {
+        "ego4d": C.ego4d_config,
+        "ego4d_scratch": C.ego4d_scratch_config,
+        "mad": C.mad_config,
+        "mad_scratch": C.mad_scratch_config,
+        "tan_ego4d": C.tan_ego4d_config,
+        "tan_mad": C.tan_mad_config,
+    }
     if args.config:
-        cfg = ConeConfig.load(args.config)
-    elif args.preset == "ego4d":
-        cfg = ego4d_config()
-    elif args.preset == "ego4d_scratch":
-        cfg = ego4d_scratch_config()
-    elif args.preset == "mad":
-        cfg = mad_config()
-    elif args.preset == "mad_scratch":
-        cfg = mad_scratch_config()
+        cfg = C.ConeConfig.load(args.config)
+    elif args.preset in presets:
+        cfg = presets[args.preset]()
     else:
-        cfg = ConeConfig()
+        cfg = C.ConeConfig()
     return _apply_overrides(cfg, args.set)
 
 
@@ -468,12 +467,15 @@ def main(argv=None):
 
     t = sub.add_parser("train", help="train a CONE model")
     t.add_argument("--config")
-    t.add_argument("--preset", choices=["ego4d", "ego4d_scratch", "mad", "mad_scratch"],
+    t.add_argument("--preset",
+                   choices=["ego4d", "ego4d_scratch", "mad", "mad_scratch",
+                            "tan_ego4d", "tan_mad"],
                    default="ego4d",
-                   help="*_scratch = same preset with nheads=4 (identical"
-                        " params; measured 18%% faster ego4d fine forward,"
-                        " +9%% MAD serving q/s — for from-scratch training;"
-                        " converted checkpoints need nheads=8)")
+                   help="*_scratch = same preset with fewer, wider heads"
+                        " (identical params; measured faster serving — for"
+                        " from-scratch training; converted checkpoints need"
+                        " nheads=8). tan_* = the 2D-TAN base model"
+                        " (cone_2dtan experiment yamls)")
     t.add_argument("--set", action="append", metavar="SEC.FIELD=VAL")
     t.add_argument("--workdir", required=True)
     t.add_argument("--train_path")

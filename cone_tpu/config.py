@@ -307,7 +307,11 @@ def tan_ego4d_config() -> ConeConfig:
     2D-TAN-64x64-K9L4-pool-sw-0.5bias-nms-con-match-adapt.yaml): window 64
     @0.535 s EgoVLP features, stride-1 frame pooling -> 64x64 map."""
     return ConeConfig(
-        model=ModelConfig(model_family="tan"),
+        # ModelConfig dims mirror the tan section: the shared pipeline
+        # buffers (eval/pipeline.py _chunk_queries) size token arrays by
+        # model.t_feat_dim and cls arrays by model.v_appear_feat_dim
+        model=ModelConfig(model_family="tan", t_feat_dim=768,
+                          v_motion_feat_dim=256, v_appear_feat_dim=256),
         # ADAPTER_LOSS_WEIGHT 0.1 (lib/core/config.py:83)
         loss=LossConfig(adapter_loss_coef=0.1),
         data=DataConfig(
@@ -332,8 +336,11 @@ def tan_mad_config() -> ConeConfig:
     avg-pooling -> 64x64 map."""
     return ConeConfig(
         # adapter off end-to-end: MODEL.ADAPTER defaults to '' and the yaml
-        # sets ADAPTER_LOSS: False (coarse stage then ranks raw features)
-        model=ModelConfig(model_family="tan", adapter_module="none"),
+        # sets ADAPTER_LOSS: False (coarse stage then ranks raw features);
+        # dims mirror the tan section (512-d CLIP video + text at MAD)
+        model=ModelConfig(model_family="tan", adapter_module="none",
+                          t_feat_dim=512, v_motion_feat_dim=512,
+                          v_appear_feat_dim=512),
         loss=LossConfig(adapter_loss=False),
         data=DataConfig(
             dset_name="mad", max_v_l=128, clip_length=0.2, topk_window=30,

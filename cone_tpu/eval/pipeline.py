@@ -386,7 +386,12 @@ class InferencePipeline:
         qc = cfg.eval.query_chunk
         toks = np.zeros((qc, cfg.data.max_q_l, cfg.model.t_feat_dim), np.float32)
         tmask = np.zeros((qc, cfg.data.max_q_l), np.float32)
-        clss = np.zeros((qc, cfg.model.t_feat_dim), np.float32)
+        # the CLS feature lives in the MATCHING branch: its dim is the
+        # (adapted) appearance dim, not the token dim — the reference's
+        # CLIP/RoBERTa ego4d variants pair 512/768-d tokens with the 256-d
+        # EgoVLP cls (ego4d_merge_textual_cls_token_feature.py merges
+        # exactly that), and TAN-MAD pairs 512-d both
+        clss = np.zeros((qc, cfg.model.v_appear_feat_dim), np.float32)
         clss[:, 0] = 1.0  # padded rows: unit vector, avoids 0/0 downstream
         for j, ex in enumerate(exs):
             tok, cls = self.ds.query_features(ex.query_id)

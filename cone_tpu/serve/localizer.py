@@ -34,7 +34,8 @@ class OnlineLocalizer:
         ds = self._make_ds(
             np.zeros((2, cfg.model.v_appear_feat_dim), np.float32),
             np.zeros((1, cfg.model.t_feat_dim), np.float32),
-            np.zeros((cfg.model.t_feat_dim,), np.float32),
+            # cls = matching-branch feature: appearance dim, not token dim
+            np.zeros((cfg.model.v_appear_feat_dim,), np.float32),
             "warmup",
         )
         # family-dispatching: a TAN workdir serves exactly like a CONE one

@@ -9,12 +9,10 @@ DATA_ROOT=${DATA_ROOT:?}
 WORKDIR=${WORKDIR:-results/tan-ego4d-$(date +%Y_%m_%d_%H_%M_%S)}
 
 python -m cone_tpu.cli train \
-  --preset ego4d \
+  --preset tan_ego4d \
   --workdir "$WORKDIR" \
   --train_path "$DATA_ROOT/train_v1.jsonl" \
   --eval_path "$DATA_ROOT/val.jsonl" \
-  --set model.model_family=tan \
-  --set data.max_v_l=64 \
   --set data.clip_length=0.5333 \
   --set data.appearance_feat_dir="$FEATURE_ROOT/video.cfs" \
   --set data.t_feat_dir="$FEATURE_ROOT/text_roberta" \

@@ -67,3 +67,26 @@ def test_mad_scratch_preset_differs_only_in_geometry():
     assert scratch.replace(
         model=dataclasses.replace(scratch.model, nheads=8,
                                   seq_pad_multiple=1)) == base
+
+
+def test_preset_feature_dims_are_consistent():
+    """The shared pipeline buffers size token arrays by model.t_feat_dim
+    and cls arrays by model.v_appear_feat_dim (the matching-branch dim) —
+    every preset must keep those in sync with its family's own dims. The
+    tan_mad preset once left ModelConfig at the 256-d defaults while its
+    tan section was 512-d, so a MAD TAN eval crashed staging queries."""
+    from cone_tpu import config as C
+
+    for make in (C.ego4d_config, C.ego4d_scratch_config, C.mad_config,
+                 C.mad_scratch_config, C.tan_ego4d_config, C.tan_mad_config):
+        cfg = make()
+        if cfg.model.model_family == "tan":
+            assert cfg.model.t_feat_dim == cfg.tan.t_feat_dim, make.__name__
+            assert cfg.model.v_appear_feat_dim == cfg.tan.v_feat_dim, make.__name__
+            assert cfg.model.v_motion_feat_dim == cfg.tan.v_feat_dim, make.__name__
+            assert (cfg.tan.num_clips * cfg.tan.frame_stride
+                    == cfg.data.max_v_l), make.__name__
+        else:
+            # CONE: the transformer consumes tokens, matching consumes cls;
+            # default datasets pair same-dim stores (EgoVLP 256 / CLIP 512)
+            assert cfg.model.v_appear_feat_dim == cfg.model.v_motion_feat_dim
