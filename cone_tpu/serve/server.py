@@ -156,6 +156,19 @@ class MomentService:
                                          mesh=mesh)
         self.localizer = OnlineLocalizer(model, params, cfg, mesh=mesh)
         self.text_encoder = text_encoder
+        if text_encoder is not None:
+            # fail fast (and warm the encoder): a text backend whose dims
+            # don't match the served model would otherwise die per-request
+            # deep in the pipeline's staging buffers. tokens feed the
+            # transformer (t_feat_dim); cls feeds the matching branch
+            # (v_appear_feat_dim) — see docs/DATA.md on the pairing.
+            tok, cls = text_encoder("warmup")
+            td, cd = np.asarray(tok).shape[-1], np.asarray(cls).shape[-1]
+            assert td == cfg.model.t_feat_dim and cd == cfg.model.v_appear_feat_dim, (
+                f"text encoder produces {td}-d tokens / {cd}-d cls but the"
+                f" model expects t_feat_dim={cfg.model.t_feat_dim} /"
+                f" v_appear_feat_dim={cfg.model.v_appear_feat_dim} — pick a"
+                " --text_backend matching the features the model trained on")
         self._device_lock = threading.Lock()
         self._counts = defaultdict(int)
         self._lat_sum = defaultdict(float)

@@ -59,6 +59,23 @@ def test_online_localizer(cfg, rng):
     assert st < 120 and ed > 95, out3
 
 
+def test_service_probes_text_encoder_dims(cfg, rng):
+    """A text backend whose dims don't match the served model must fail at
+    construction with a clear message, not per-request deep in staging."""
+    from cone_tpu.serve.server import MomentService
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    good = lambda q: (np.zeros((4, DIM), np.float32),
+                      np.zeros(DIM, np.float32))
+    svc = MomentService(model, params, cfg, text_encoder=good)
+    assert svc.text_encoder is good
+
+    bad = lambda q: (np.zeros((4, 512), np.float32),
+                     np.zeros(512, np.float32))
+    with pytest.raises(AssertionError, match="text_backend"):
+        MomentService(model, params, cfg, text_encoder=bad)
+
+
 def test_serving_surfaces_dispatch_tan_family(rng):
     """make_pipeline lets a TAN workdir serve like a CONE one: the online
     localizer and corpus retriever run the TAN fine stage (score-map cells,
