@@ -104,9 +104,18 @@ def cmd_train(args):
     if args.eval_path:
         cfg = cfg.replace(data=dc.replace(cfg.data, eval_path=args.eval_path))
     if args.synthetic:
+        import dataclasses as dc
+
         from cone_tpu.data import make_synthetic_dataset
 
         dim = cfg.model.v_appear_feat_dim
+        if cfg.model.t_feat_dim != dim:
+            # synthetic text features share the appearance dim (the
+            # matching branch requires cls dim == appearance dim), so
+            # presets with wider token dims (tan_ego4d's RoBERTa-768,
+            # the CLIP/RoBERTa variants) shrink to dim for smoke runs
+            cfg = cfg.replace(model=dc.replace(cfg.model, t_feat_dim=dim),
+                              tan=dc.replace(cfg.tan, t_feat_dim=dim))
         train_ds = make_synthetic_dataset(cfg.data, n_videos=8,
                                           queries_per_video=8, dim=dim, seed=0)
         eval_ds = train_ds
