@@ -367,19 +367,21 @@ class CorpusRetriever:
 
     def search(self, token_feats: np.ndarray, cls_feat: np.ndarray,
                query: str = "", search_windows: Optional[int] = None,
-               top_moments: int = 10) -> List[Dict]:
+               top_moments: int = 10,
+               adaptive_margin: Optional[float] = None) -> List[Dict]:
         """Rank moments for ONE query across the whole corpus (see
         search_batch). token_feats: (Lq, Dt); cls_feat: (Dt,)."""
         return self.search_batch(
             [token_feats], np.asarray(cls_feat, np.float32)[None],
             queries=[query], search_windows=search_windows,
-            top_moments=top_moments,
+            top_moments=top_moments, adaptive_margin=adaptive_margin,
         )[0]
 
     def search_batch(self, token_feats_list, cls_feats: np.ndarray,
                      queries: Optional[List[str]] = None,
                      search_windows: Optional[int] = None,
-                     top_moments: int = 10) -> List[List[Dict]]:
+                     top_moments: int = 10,
+                     adaptive_margin: Optional[float] = None) -> List[List[Dict]]:
         """Rank moments for a BATCH of queries across the whole corpus.
 
         All queries share the per-bucket coarse scans (the corpus HBM
@@ -400,6 +402,10 @@ class CorpusRetriever:
             search_windows: corpus-wide window budget per query (default:
                 data.topk_window, the per-video budget).
             top_moments: moments returned per query.
+            adaptive_margin: optional per-query budget shrink — only
+                windows with coarse score >= (query's best - margin)
+                refine, so concentrated queries cost a fraction of the
+                budget. None (default) keeps the fixed-budget semantics.
 
         Returns: per query, a list of dicts {video_id, span (st, ed),
         prop, match, fused}, fusion-ranked across videos.
@@ -470,6 +476,18 @@ class CorpusRetriever:
         for qi in range(nq):
             merged = sorted((tuple(t) for g in gathered for t in g[qi]),
                             key=lambda t: (-t[0], t[1], t[2]))[:k]
+            if adaptive_margin is not None and merged:
+                # per-query adaptive budget: drop windows whose coarse score
+                # trails the query's best by more than the margin. The fine
+                # stage (>99.8% of per-query FLOPs) then scales with how
+                # concentrated the coarse signal is instead of always
+                # refining the full budget. Identical on every host (the cut
+                # applies to the globally-merged list). Note the fusion
+                # min-max then normalizes over the surviving candidate set —
+                # an intentional semantic difference from the fixed-budget
+                # reference scheme, opt-in per request.
+                floor = merged[0][0] - adaptive_margin
+                merged = [t for t in merged if t[0] >= floor]
             for _, cid, w in merged:
                 if cid in mine:
                     chosen[qi].setdefault(cid, []).append(int(w))

@@ -17,7 +17,8 @@ Endpoints (all JSON):
   POST /save_corpus  {"dir"}           persist the library (.cfs stores)
   POST /load_corpus  {"dir"}           rebuild a saved library
   POST /search     {"token_features", "cls_feature", "query"?,
-                    "top_moments"?, "search_windows"?}   -> corpus ranking
+                    "top_moments"?, "search_windows"?,
+                    "adaptive_margin"?}                  -> corpus ranking
   POST /search_batch {"queries": [...per-query dicts...],
                     "top_moments"?, "search_windows"?}   -> batched ranking
   POST /localize   {"video_features", "token_features", "cls_feature",
@@ -77,10 +78,12 @@ class _MicroBatcher:
         threading.Thread(target=self._loop, daemon=True,
                          name="search-microbatcher").start()
 
-    def submit(self, tok, cls, query, search_windows, top_moments):
+    def submit(self, tok, cls, query, search_windows, top_moments,
+               adaptive_margin):
         done = threading.Event()
         slot: dict = {}
-        self._q.put((tok, cls, query, (search_windows, top_moments),
+        self._q.put((tok, cls, query,
+                     (search_windows, top_moments, adaptive_margin),
                      done, slot))
         done.wait()
         if "error" in slot:
@@ -110,7 +113,7 @@ class _MicroBatcher:
                     slot["error"] = e         # dead batcher thread would hang
                     done.set()                # every later /search forever
                 continue
-            for (sw, tm), items in by_opts.items():
+            for (sw, tm, am), items in by_opts.items():
                 svc = self.service
                 try:
                     with svc._device_lock:
@@ -120,7 +123,8 @@ class _MicroBatcher:
                                 [it[0] for it in items],
                                 np.stack([it[1] for it in items]),
                                 queries=[it[2] for it in items],
-                                search_windows=sw, top_moments=tm))
+                                search_windows=sw, top_moments=tm,
+                                adaptive_margin=am))
                 except Exception as e:  # propagate to every waiter
                     for *_, done, slot in items:
                         slot["error"] = e
@@ -287,14 +291,16 @@ class MomentService:
         sw = payload.get("search_windows")
         sw = None if sw is None else int(sw)
         tm = int(payload.get("top_moments", 10))
+        am = payload.get("adaptive_margin")
+        am = None if am is None else float(am)
         if self.batcher is not None:
             moments = self.batcher.submit(tok, cls, payload.get("query", ""),
-                                          sw, tm)
+                                          sw, tm, am)
         else:
             with self._device_lock:
                 moments = self._timed("search", lambda: self.retriever.search(
                     tok, cls, query=payload.get("query", ""),
-                    search_windows=sw, top_moments=tm))
+                    search_windows=sw, top_moments=tm, adaptive_margin=am))
         for m in moments:  # tuples -> lists for JSON
             m["span"] = [float(m["span"][0]), float(m["span"][1])]
         return {"moments": moments}
@@ -311,6 +317,7 @@ class MomentService:
             tok, cls = self._text(row)
             toks.append(tok)
             clss.append(cls)
+        am = payload.get("adaptive_margin")
         with self._device_lock:
             results = self._timed(
                 "search_batch",
@@ -318,7 +325,8 @@ class MomentService:
                     toks, np.stack(clss),
                     queries=[r.get("query", "") for r in rows],
                     search_windows=payload.get("search_windows"),
-                    top_moments=int(payload.get("top_moments", 10))))
+                    top_moments=int(payload.get("top_moments", 10)),
+                    adaptive_margin=None if am is None else float(am)))
         for moments in results:
             for m in moments:
                 m["span"] = [float(m["span"][0]), float(m["span"][1])]

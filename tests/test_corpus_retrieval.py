@@ -134,6 +134,44 @@ def test_append_video_streaming_ingest(cfg, ds):
         grown.append_video("nope", new)
 
 
+def test_adaptive_margin_budget(cfg, ds):
+    """adaptive_margin shrinks the per-query fine budget by coarse-score
+    concentration: an effectively-infinite margin reproduces the fixed
+    budget exactly; margin 0 refines only windows tied with the query's
+    best, equivalent to searching with that many windows."""
+    model, params = build_model_and_params(cfg.model, seed=0)
+    rng = np.random.default_rng(11)
+    ex = ds.examples[0]
+    tok, cls = ds.query_features(ex.query_id)
+    clsn = cls / np.linalg.norm(cls)
+
+    r = CorpusRetriever(model, params, cfg)
+    va = rng.standard_normal((120, DIM)).astype(np.float32)
+    vb = rng.standard_normal((120, DIM)).astype(np.float32)
+    # one towering window in vb; everything else is noise far below it
+    vb[40:56] += 8.0 * clsn
+    r.add_video("a", va)
+    r.add_video("b", vb)
+
+    base = r.search(tok, cls, top_moments=5)
+    assert r.search(tok, cls, top_moments=5, adaptive_margin=1e9) == base
+
+    # count how many merged windows survive margin 0 (ties with the best)
+    scored = r._coarse_all(clsn[None])
+    from cone_tpu.ops.windows import num_windows as nw
+
+    all_scores = np.concatenate(
+        [s[0][: nw(ctx, r.pipe.stride)] for _, ctx, s in scored])
+    n_tied = int((all_scores >= all_scores.max()).sum())
+    assert n_tied < 20  # the margin cut must bind below the budget
+    tight = r.search(tok, cls, top_moments=5, search_windows=20,
+                     adaptive_margin=0.0)
+    want = r.search(tok, cls, top_moments=5, search_windows=n_tied)
+    assert tight == want
+    best = max(tight, key=lambda o: o["match"])
+    assert best["video_id"] == "b"
+
+
 def test_remove_video_and_corpus_persistence(cfg, ds, tmp_path):
     """The full library lifecycle: remove evicts a video from search
     results; save_corpus -> load_corpus in a fresh retriever reproduces
