@@ -59,3 +59,34 @@ def test_convert_ckpt_to_workdir_and_restore(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(out["pred_spans"]),
                                g["pred_spans"], atol=2e-5)
+
+
+def test_params_to_torch_roundtrip():
+    """The export direction (tools/convert_ckpt.py --export): a cone_tpu
+    param tree -> reference-named state dict -> param tree is EXACT, so
+    cone_tpu-trained weights load into the reference PyTorch model
+    losslessly (the inverse of the import mapping the golden tests pin)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import jax
+    from convert_ckpt import params_to_torch_state_dict, torch_state_dict_to_params
+
+    from cone_tpu.config import ModelConfig
+    from cone_tpu.models.init import build_model_and_params
+
+    cfg = ModelConfig(hidden_dim=32, nheads=4, dim_feedforward=64,
+                      t_feat_dim=24, v_motion_feat_dim=28,
+                      v_appear_feat_dim=24, max_q_l=8, max_v_l=16,
+                      use_txt_pos=True)
+    _, params = build_model_and_params(cfg, seed=3)
+    sd = params_to_torch_state_dict(jax.device_get(params), cfg)
+    assert all(isinstance(v, np.ndarray) for v in sd.values())
+    back = torch_state_dict_to_params(sd, cfg)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_a) == len(flat_b)
+    for k, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      flat_b[jax.tree_util.keystr(k)],
+                                      err_msg=jax.tree_util.keystr(k))

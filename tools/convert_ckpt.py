@@ -24,6 +24,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from cone_tpu.config import ModelConfig
 
 
+def jax_to_numpy(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), tree)
+
+
 def _dense(sd, name):
     return {"kernel": sd[f"{name}.weight"].T.copy(), "bias": sd[f"{name}.bias"].copy()}
 
@@ -101,6 +107,77 @@ def torch_state_dict_to_params(sd: dict, cfg: ModelConfig) -> dict:
     return params
 
 
+def _inv_dense(out, name, p):
+    out[f"{name}.weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
+    out[f"{name}.bias"] = np.asarray(p["bias"]).copy()
+
+
+def _inv_ln(out, name, p):
+    out[f"{name}.weight"] = np.asarray(p["scale"]).copy()
+    out[f"{name}.bias"] = np.asarray(p["bias"]).copy()
+
+
+def _inv_attn(out, name, p):
+    out[f"{name}.in_proj_weight"] = np.ascontiguousarray(
+        np.asarray(p["in_proj"]["kernel"]).T)
+    out[f"{name}.in_proj_bias"] = np.asarray(p["in_proj"]["bias"]).copy()
+    _inv_dense(out, f"{name}.out_proj", p["out_proj"])
+
+
+def _inv_mlp(out, name, p):
+    for key, layer in p.items():
+        _inv_dense(out, f"{name}.layers.{key.split('_')[1]}", layer)
+
+
+def _inv_linear_layer(out, name, p):
+    _inv_dense(out, f"{name}.net.1", p["linear"])
+    if "LayerNorm" in p:
+        _inv_ln(out, f"{name}.LayerNorm", p["LayerNorm"])
+
+
+def _inv_encoder_layer(out, name, p):
+    _inv_attn(out, f"{name}.self_attn", p["self_attn"])
+    _inv_dense(out, f"{name}.linear1", p["ffn"]["linear1"])
+    _inv_dense(out, f"{name}.linear2", p["ffn"]["linear2"])
+    _inv_ln(out, f"{name}.norm1", p["norm1"])
+    _inv_ln(out, f"{name}.norm2", p["norm2"])
+
+
+def params_to_torch_state_dict(params: dict, cfg: ModelConfig) -> dict:
+    """cone_tpu flax param dict -> reference-named numpy state dict — the
+    exact inverse of torch_state_dict_to_params, so cone_tpu-trained
+    weights load into the reference PyTorch model (cone/model.py names)
+    for apples-to-apples GPU evaluation. Pinned by
+    tests/test_convert_workflow.py round-trip equality."""
+    out: dict = {}
+    for i in range(cfg.n_input_proj):
+        _inv_linear_layer(out, f"input_txt_proj.{i}", params[f"input_txt_proj_{i}"])
+        _inv_linear_layer(out, f"input_vid_proj.{i}", params[f"input_vid_proj_{i}"])
+    tr = params["transformer"]
+    for i in range(cfg.enc_layers):
+        _inv_encoder_layer(out, f"transformer.encoder.layers.{i}",
+                           tr[f"encoder_layer_{i}"])
+    for i in range(cfg.dec_layers):
+        p = tr[f"decoder_layer_{i}"]
+        name = f"transformer.decoder.layers.{i}"
+        _inv_encoder_layer(out, name, p)
+        _inv_attn(out, f"{name}.multihead_attn", p["multihead_attn"])
+        _inv_ln(out, f"{name}.norm3", p["norm3"])
+    _inv_ln(out, "transformer.decoder.norm", tr["decoder_norm"])
+    out["query_embed.weight"] = np.asarray(params["query_embed"]).copy()
+    _inv_mlp(out, "span_embed", params["span_embed"])
+    _inv_dense(out, "class_embed", params["class_embed"])
+    _inv_dense(out, "saliency_proj", params["saliency_proj"])
+    if cfg.adapter_module == "linear":
+        _inv_mlp(out, "adapter_layer", params["adapter_layer"])
+    if cfg.use_txt_pos:
+        out["txt_position_embed.position_embeddings.weight"] = np.asarray(
+            params["txt_position_embed"]["position_embeddings"]).copy()
+        _inv_ln(out, "txt_position_embed.LayerNorm",
+                params["txt_position_embed"]["LayerNorm"])
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True, help="reference .ckpt (torch)")
@@ -110,10 +187,33 @@ def main():
                          " (model_converted.msgpack + config.json) for"
                          " `cone_tpu.cli infer --workdir ... --ckpt converted`")
     ap.add_argument("--config", default=None, help="ConeConfig json (optional)")
+    ap.add_argument("--export", action="store_true",
+                    help="REVERSE direction: read a cone_tpu checkpoint"
+                         " (--workdir + --ckpt name) and write a"
+                         " reference-format torch .ckpt to --out, loadable"
+                         " by cone/inference.py setup_model")
     args = ap.parse_args()
     assert args.out or args.workdir, "need --out or --workdir"
 
     import torch  # local import: conversion host only
+
+    if args.export:
+        assert args.workdir and args.out, "--export needs --workdir and --out"
+        from cone_tpu.train.checkpoint import CheckpointManager
+        from cone_tpu.train.loop import build_family
+
+        cfg = CheckpointManager.load_config(args.workdir)
+        assert cfg.model.model_family != "tan", "export supports CONE ckpts"
+        model, template = build_family(cfg, seed=0)
+        mgr = CheckpointManager(args.workdir)
+        params, _, epoch, _ = mgr.restore(args.ckpt, template)
+        sd = params_to_torch_state_dict(jax_to_numpy(params), cfg.model)
+        torch.save({"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                              for k, v in sd.items()},
+                    "epoch": epoch}, args.out)
+        print(f"exported '{args.ckpt}' (epoch {epoch}) -> {args.out} "
+              f"({len(sd)} reference tensors)")
+        return
     from flax.serialization import msgpack_serialize
 
     raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
