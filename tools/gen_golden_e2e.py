@@ -22,7 +22,10 @@ from types import SimpleNamespace
 import numpy as np
 
 
-def main():
+def generate(out_path: str, max_v_l: int = 32, topk_window: int = 4,
+             clip_len: float = 1.0, dim: int = 36, n_videos: int = 2,
+             queries_per_video: int = 3, ctx_range=(100, 150),
+             data_seed: int = 77):
     # shims for reference imports (lmdb/terminaltables not installed)
     sys.modules.setdefault("lmdb", types.ModuleType("lmdb"))
     tt = types.ModuleType("terminaltables")
@@ -48,10 +51,7 @@ def main():
     from cone.model import build_model
     from cone.span_utils import span_cxw_to_xx
 
-    # tiny full config: window 32, top-4 windows, 5 queries
-    max_v_l, topk_window, clip_len = 32, 4, 1.0
     stride = max_v_l // 2
-    dim = 36
     margs = build_args(
         t_feat_dim=dim, v_motion_feat_dim=dim, v_appear_feat_dim=dim,
         max_v_l=max_v_l, max_q_l=8,
@@ -59,16 +59,16 @@ def main():
     model, _ = build_model(margs)
     model.eval()
 
-    # deterministic synthetic corpus: 2 videos x 3 queries
-    rng = np.random.default_rng(77)
+    # deterministic synthetic corpus
+    rng = np.random.default_rng(data_seed)
     videos = {}
     queries = []  # (qid, clip_id, tokens, cls)
-    for v in range(2):
-        ctx_l = int(rng.integers(100, 150))
+    for v in range(n_videos):
+        ctx_l = int(rng.integers(*ctx_range))
         feats = rng.normal(size=(ctx_l, dim)).astype(np.float32)
         feats /= np.linalg.norm(feats, axis=-1, keepdims=True) + 1e-5
         videos[f"v{v}"] = feats
-        for q in range(3):
+        for q in range(queries_per_video):
             tok = rng.normal(size=(int(rng.integers(3, 8)), dim)).astype(np.float32)
             tok /= np.linalg.norm(tok, axis=-1, keepdims=True) + 1e-5
             cls = rng.normal(size=(dim,)).astype(np.float32)
@@ -98,7 +98,14 @@ def main():
                 s = max((i - 1) * stride, 0)
                 e = min((i - 1) * stride + max_v_l, ctx_l)
                 w_scores.append(torch.max(frame_scores[s:e]))
-            _, order = torch.sort(torch.stack(w_scores), descending=True)
+            # The reference sorts with unstable torch.sort (inference.py:298).
+            # Adjacent overlapping windows tie EXACTLY whenever the max frame
+            # lies in their overlap half, and unstable-sort tie order is
+            # implementation noise (empirically chaotic across sizes/data:
+            # introsort partitioning). Pin the defined policy both sides use:
+            # stable descending (earlier window first on ties).
+            _, order = torch.sort(torch.stack(w_scores), descending=True,
+                                  stable=True)
             ranklist = order.tolist()
             blob[f"{qid}_ranklist"] = np.asarray(ranklist, np.int64)
 
@@ -141,9 +148,21 @@ def main():
     for name, p in model.state_dict().items():
         blob[f"w::{name}"] = p.numpy()
     blob["meta"] = np.asarray([max_v_l, topk_window, dim], np.int64)
+    blob["clip_len"] = np.asarray(clip_len, np.float64)
 
-    np.savez_compressed("tests/golden/e2e_inference.npz", **blob)
-    print(f"wrote tests/golden/e2e_inference.npz: {len(blob)} arrays")
+    np.savez_compressed(out_path, **blob)
+    print(f"wrote {out_path}: {len(blob)} arrays")
+
+
+def main():
+    # tiny full config: window 32, top-4 windows, 6 queries
+    generate("tests/golden/e2e_inference.npz")
+    # MAD-proportioned: longer videos (ctx buckets bind in the parity
+    # test), stride-fraction clip length, a deeper window budget -> a
+    # 40-candidate fusion/dedup/NMS set per query
+    generate("tests/golden/e2e_inference_mad.npz", max_v_l=40,
+             topk_window=8, clip_len=0.2, dim=48, n_videos=2,
+             queries_per_video=3, ctx_range=(300, 480), data_seed=31)
 
 
 if __name__ == "__main__":
