@@ -146,6 +146,12 @@ class TrainConfig:
     exp_id: str = "exp"
     save_interval: int = 50
     dp_devices: int = 1           # data-parallel mesh size
+    # ECCV'22 leaderboard recipe: per example, 3 extra variable-length
+    # windows (0.4-2x stride, GT-covering) join the batch as additional
+    # Moment-DETR rows (data/multiscale.py MultiscaleTrainLoader,
+    # cone/ego4d_dataloader_for_eccv2022_workshop.py:179-235). Single-host
+    # only (the [std; extra] batch layout can't row-slice per process).
+    multiscale: bool = False
     # smoke mode: cap each train epoch at 3 batches and evals at one query
     # chunk (the reference's --debug break-all-loops flag, cone/config.py:27-28,
     # train.py:101-102)

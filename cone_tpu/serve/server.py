@@ -318,13 +318,14 @@ class MomentService:
             toks.append(tok)
             clss.append(cls)
         am = payload.get("adaptive_margin")
+        sw = payload.get("search_windows")
         with self._device_lock:
             results = self._timed(
                 "search_batch",
                 lambda: self.retriever.search_batch(
                     toks, np.stack(clss),
                     queries=[r.get("query", "") for r in rows],
-                    search_windows=payload.get("search_windows"),
+                    search_windows=None if sw is None else int(sw),
                     top_moments=int(payload.get("top_moments", 10)),
                     adaptive_margin=None if am is None else float(am)))
         for moments in results:
@@ -335,10 +336,11 @@ class MomentService:
     def localize(self, payload: dict) -> dict:
         tok, cls = self._text(payload)
         vid = np.asarray(payload["video_features"], np.float32)
+        tk = payload.get("top_k")
         with self._device_lock:
             times = self._timed("localize", lambda: self.localizer.localize(
                 vid, tok, cls, query=payload.get("query", ""),
-                top_k=payload.get("top_k")))
+                top_k=None if tk is None else int(tk)))
         return {"moments": [[float(x) for x in row] for row in times]}
 
     def handle(self, method: str, path: str, payload: Optional[dict]):

@@ -10,6 +10,7 @@ AverageMeters, cone/train.py:41-56) and a jsonl metrics log.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from collections import defaultdict
@@ -218,6 +219,7 @@ def train(
     logger = MetricLogger(workdir) if is_main else None
     if is_main:
         _snapshot_code_version(workdir)
+        logger.log_hparams(json.loads(cfg.to_json()))
 
     model, params = build_family(cfg, seed=cfg.train.seed)
     if init_ckpt and not ckpt.exists("latest"):
@@ -227,7 +229,19 @@ def train(
         print(f"warm start: params from {init_ckpt}")
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model: {cfg.model.model_family}, {n_params:,} parameters")
-    loader = TrainLoader(train_ds, bsz=cfg.train.bsz, seed=cfg.train.seed)
+    if cfg.train.multiscale:
+        # ECCV'22 leaderboard recipe: 3 extra variable-length windows per
+        # example (data/multiscale.py). CONE family, single host only.
+        from cone_tpu.data.multiscale import MultiscaleTrainLoader
+
+        assert cfg.model.model_family != "tan", "multiscale is CONE-only"
+        assert not multi, (
+            "train.multiscale is single-host: the [std; extra] batch layout"
+            " cannot be row-sliced per process")
+        loader = MultiscaleTrainLoader(train_ds, bsz=cfg.train.bsz,
+                                       seed=cfg.train.seed)
+    else:
+        loader = TrainLoader(train_ds, bsz=cfg.train.bsz, seed=cfg.train.seed)
     plateau = None
     if cfg.model.model_family == "tan":
         from cone_tpu.train.optim import ReduceLROnPlateau, make_tan_optimizer

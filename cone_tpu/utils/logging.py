@@ -64,3 +64,28 @@ class MetricLogger:
 
     def log_text(self, text: str) -> None:
         self._append(self.eval_path, text)
+
+    def log_hparams(self, cfg_dict: dict) -> None:
+        """Record the run's hyperparameters once at train start — the
+        reference writes them to TensorBoard as a markdown table
+        (cone/train.py:128, utils/basic_utils.py:228 dict_to_markdown).
+        Here: one jsonl record plus the same markdown text in TB."""
+        rec = {"ts": time.time(), "kind": "hparams", "config": cfg_dict}
+        self._append(self.jsonl_path, json.dumps(rec))
+        if self._tb:
+            flat = _flatten(cfg_dict)
+            md = "| key | value |\n|---|---|\n" + "\n".join(
+                f"| {k} | {v} |" for k, v in sorted(flat.items())
+            )
+            self._tb.add_text("hyperparameters", md)
+
+
+def _flatten(d: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "."))
+        else:
+            out[key] = v
+    return out

@@ -74,9 +74,13 @@ def test_artifacts_written(trained, cfg):
         assert os.path.exists(os.path.join(workdir, f)), f
     records = [json.loads(l) for l in open(os.path.join(workdir, "metrics.jsonl"))]
     kinds = {r["kind"] for r in records}
-    assert kinds == {"train_epoch", "eval"}
+    assert kinds == {"hparams", "train_epoch", "eval"}
     evals = [r for r in records if r["kind"] == "eval"]
     assert all(np.isfinite(r["stop_score"]) for r in evals)
+    # hparams recorded once at train start, full config tree (the
+    # reference's TB hyperparameters text, cone/train.py:128)
+    hp = [r for r in records if r["kind"] == "hparams"]
+    assert len(hp) == 1 and hp[0]["config"]["model"]["nheads"] == cfg.model.nheads
 
 
 def test_eval_scores_improve_over_untrained(trained, cfg, ds):
@@ -238,3 +242,20 @@ def test_debug_smoke_mode(cfg, ds, tmp_path_factory):
     res = evaluate(model, params, ds, cfg_d)
     assert len(res["submissions"]["fusion"]) == max(cfg_d.eval.query_chunk, 8)
     assert np.isfinite(res["stop_score"])
+
+
+def test_multiscale_train_loop(cfg, ds, tmp_path_factory):
+    """train.multiscale swaps in the ECCV'22 leaderboard loader end-to-end
+    (scripts/train_ego4d_leaderboard.sh recipe): 4 windows per example per
+    batch, adapter NCE on the standard rows, checkpoints/evals as usual."""
+    import dataclasses
+
+    cfg_m = cfg.replace(train=dataclasses.replace(
+        cfg.train, multiscale=True, n_epoch=2, eval_epoch_interval=1,
+        start_epoch_for_adapter=0, debug=True))
+    workdir = str(tmp_path_factory.mktemp("msrun"))
+    params, history = train(cfg_m, ds, ds, workdir)
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss_overall"]) for h in history)
+    assert all("loss_adapter" in h for h in history)
+    assert os.path.exists(os.path.join(workdir, "model_latest.msgpack"))
