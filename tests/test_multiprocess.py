@@ -56,9 +56,17 @@ def dist_outputs(tmp_path_factory):
         return procs, logs
 
     procs, logs = run_cluster(port, workdir, out_prefix)
-    for attempt in range(2):
+    # transient-cluster failure signatures, all rendezvous/timeout shaped:
+    # Gloo's fixed ~30 s communicator KV window, coordination-service
+    # deadlines, and startup races on a contended host. Anything else
+    # (assertion, traceback in our code) fails immediately.
+    _TRANSIENT = ("Gloo context initialization failed",
+                  "DEADLINE_EXCEEDED", "Timed out waiting",
+                  "Connection refused", "Barrier timed out",
+                  "coordination service")
+    for attempt in range(3):
         if not (any(p.returncode != 0 for p in procs) and any(
-                "Gloo context initialization failed" in l for l in logs)):
+                m in l for m in _TRANSIENT for l in logs)):
             break
         # Gloo's communicator rendezvous has a fixed ~30 s KV window; on a
         # contended single-core host (the suite's parent process shares
