@@ -205,6 +205,41 @@ def cmd_infer(args):
                                     [1, 5, 10, 50, 100], title="Official Ego4D"))
 
 
+def cmd_demo(args):
+    """The reference's demo entry point (run_on_video/run.py run_example):
+    one video file + query text -> ranked moments printed, one block per
+    query. backend="egovlp" is the reference demo's actual backbone (video
+    through the flax EgoVlpVideoTower on the accelerator); backend="clip"
+    swaps in CLIP towers (host torch or the flax towers with
+    --clip_engine flax). Extracted video features cache to --cache_dir
+    like the reference's .pt cache (run.py:30-38)."""
+    from cone_tpu.serve.predictor import MomentPredictor
+    from cone_tpu.train.checkpoint import CheckpointManager
+    from cone_tpu.train.loop import build_family
+
+    cfg = CheckpointManager.load_config(args.workdir)
+    cfg = _apply_overrides(cfg, args.set)
+    model, template = build_family(cfg, seed=0)
+    params, _, epoch, _ = CheckpointManager(args.workdir).restore(
+        args.ckpt, template)
+    print(f"restored '{args.ckpt}' (epoch {epoch})")
+    pred = MomentPredictor(
+        model, params, cfg, backend=args.backend,
+        clip_engine=args.clip_engine,
+        egovlp_checkpoint=args.egovlp_checkpoint,
+        cache_dir=args.cache_dir)
+    for query in args.query:
+        print("text_query: ", query)
+        moments = pred.localize_moment(args.video, query, top_k=args.top_k)
+        # the reference's output block (run.py:59-62); rows are
+        # [st, ed, prop, match, fusion], fusion-ranked
+        print("-----------------------------prediction"
+              "------------------------------------")
+        for i, m in enumerate(moments):
+            print("Rank %d, moment boundary in seconds: %.4f %.4f,"
+                  " score: %.4f" % (i + 1, m[0], m[1], m[4]))
+
+
 def cmd_eval(args):
     """Standalone metric evaluation over submission files — the counterpart
     of the reference's standalone_eval CLIs (evaluate_ego4d_nlq.py:140-171,
@@ -564,6 +599,26 @@ def main(argv=None):
                         " serving library from at startup")
     s.set_defaults(fn=cmd_serve)
 
+    d = sub.add_parser("demo", help="video file + query text -> ranked"
+                       " moments (the reference's run_on_video/run.py)")
+    d.add_argument("--workdir", required=True)
+    d.add_argument("--ckpt", default="best")
+    d.add_argument("--set", action="append", metavar="SEC.FIELD=VAL")
+    d.add_argument("--video", required=True, help="video file (ffmpeg)")
+    d.add_argument("--query", action="append", required=True,
+                   help="query text; repeat for several queries")
+    d.add_argument("--backend", choices=["clip", "egovlp"], default="egovlp",
+                   help="feature backbone (the reference demo is EgoVLP)")
+    d.add_argument("--clip_engine", choices=["torch", "flax"],
+                   default="torch",
+                   help="backend=clip: host torch vs flax-on-accelerator")
+    d.add_argument("--egovlp_checkpoint",
+                   help="released egovlp.pth (backend=egovlp)")
+    d.add_argument("--cache_dir", default="feature_cache",
+                   help="extracted-feature cache (run.py:30-38)")
+    d.add_argument("--top_k", type=int, help="moments to print per query")
+    d.set_defaults(fn=cmd_demo)
+
     v = sub.add_parser("eval", help="recall tables from submission files"
                                     " (standalone, no model)")
     v.add_argument("--submission",
@@ -659,7 +714,7 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
-    if (args.cmd in ("train", "infer", "serve", "extract-video",
+    if (args.cmd in ("train", "infer", "serve", "demo", "extract-video",
                      "extract-text")
             and not getattr(args, "distributed", False)
             and "JAX_COMPILATION_CACHE_DIR" not in os.environ):

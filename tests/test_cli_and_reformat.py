@@ -291,3 +291,52 @@ def test_cli_train_infer_roundtrip(tmp_path):
               "inference_best_proposal_preds.jsonl",
               "inference_best_matching_preds.jsonl"]:
         assert os.path.exists(os.path.join(workdir, f)), f
+
+
+def test_cli_demo_surface(tmp_path, capsys, monkeypatch):
+    """`cone_tpu demo`: the reference's run_on_video/run.py entry point.
+    Heavy extraction is stubbed (the real predictor path is covered by
+    test_serve_ensemble_multiscale); this pins the CLI surface — workdir
+    checkpoint load, per-query prediction block, the reference's print
+    format (run.py:59-62)."""
+    import cone_tpu.serve.predictor as predictor_mod
+    from cone_tpu.cli import main
+    from cone_tpu.config import ConeConfig, DataConfig, ModelConfig
+    from cone_tpu.models.init import build_model_and_params
+    from cone_tpu.train.checkpoint import CheckpointManager
+
+    dim = 32
+    cfg = ConeConfig(
+        model=ModelConfig(hidden_dim=64, nheads=4, dim_feedforward=128,
+                          t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_q_l=8, max_v_l=32),
+        data=DataConfig(max_v_l=32, max_q_l=8, clip_length=1.0,
+                        topk_window=4, max_ctx_l=256),
+    )
+    model, params = build_model_and_params(cfg.model, seed=0)
+    CheckpointManager(str(tmp_path), cfg).save("best", params, epoch=3)
+
+    calls = {}
+
+    class FakePredictor:
+        def __init__(self, model, params, cfg, **kw):
+            calls["backend"] = kw.get("backend")
+
+        def localize_moment(self, video, query, top_k=None):
+            calls["video"], calls["query"] = video, query
+            calls["top_k"] = top_k
+            return [[87.461, 103.112, 0.1, 0.2, 1.937],
+                    [3.0, 4.0, 0.1, 0.2, 0.5]]
+
+    monkeypatch.setattr(predictor_mod, "MomentPredictor", FakePredictor)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    main(["demo", "--workdir", str(tmp_path), "--video", "v.mp4",
+          "--query", "Did I wash the green pepper?", "--backend", "clip",
+          "--top_k", "2"])
+    out = capsys.readouterr().out
+    # the reference demo's sanity output block (README.md:209-216)
+    assert ("Rank 1, moment boundary in seconds: 87.4610 103.1120,"
+            " score: 1.9370") in out
+    assert "Rank 2" in out
+    assert calls == {"backend": "clip", "video": "v.mp4",
+                     "query": "Did I wash the green pepper?", "top_k": 2}
