@@ -264,6 +264,22 @@ class MomentPredictor:
         (run_on_video/run.py:52-70)."""
         video = l2_normalize(self.video_features(video_path))
         tokens, cls = self.text_features(query)
+        # fail fast with a readable message on backbone/model dim mismatch
+        # (same probe as serve/server.py MomentService): tokens feed the
+        # transformer (t_feat_dim), cls + video feed the matching branch
+        # (v_appear_feat_dim)
+        td, cd, vd = (np.asarray(tokens).shape[-1], np.asarray(cls).shape[-1],
+                      video.shape[-1])
+        m = self.cfg.model
+        assert (td == m.t_feat_dim and cd == m.v_appear_feat_dim
+                and vd == m.v_appear_feat_dim
+                and vd == m.v_motion_feat_dim), (
+            f"backend '{self.backend}' produces {td}-d tokens / {cd}-d cls /"
+            f" {vd}-d video but the model expects t_feat_dim={m.t_feat_dim} /"
+            f" v_appear_feat_dim={m.v_appear_feat_dim} /"
+            f" v_motion_feat_dim={m.v_motion_feat_dim} (the demo serves one"
+            " stream to both branches) — pick the backend matching the"
+            " features the checkpoint trained on")
         tokens = l2_normalize(tokens)
         cls = l2_normalize(cls[None])[0]
         return self.localizer.localize(video, tokens, cls, query=query,

@@ -514,3 +514,25 @@ def test_clip_predictor_engines_match(cfg, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(outs["flax"], np.float64),
                                np.asarray(outs["torch"], np.float64),
                                atol=2e-3)
+
+
+def test_predictor_probes_backbone_dims(cfg, monkeypatch, tmp_path):
+    """A backbone whose feature dims don't match the served checkpoint must
+    fail with a readable message at localize_moment, not deep in the
+    pipeline's staging buffers (same probe as MomentService's text-encoder
+    check)."""
+    from cone_tpu.serve.predictor import MomentPredictor
+
+    model, params = build_model_and_params(cfg.model, seed=0)
+    pred = MomentPredictor(model, params, cfg, backend="clip",
+                           cache_dir=str(tmp_path))
+    # CLIP-512-d features against a DIM-d model
+    monkeypatch.setattr(
+        MomentPredictor, "video_features",
+        lambda self, p: np.zeros((40, 512), np.float32))
+    monkeypatch.setattr(
+        MomentPredictor, "text_features",
+        lambda self, q: (np.zeros((6, 512), np.float32),
+                         np.zeros(512, np.float32)))
+    with pytest.raises(AssertionError, match="backend"):
+        pred.localize_moment("v.mp4", "where is the cup")
