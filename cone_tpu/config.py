@@ -296,9 +296,10 @@ def mad_scratch_config() -> ConeConfig:
     (d_head 128 — exactly one MXU lane width; identical parameter count).
     Measured in one process on v5e at full MAD serving scale: nheads
     8 -> 4 -> 2 gives 921 -> 1008 -> 1084 q/s device (+18% total — see
-    docs/RESULTS.md round 3; at Ego4D scale nheads=4 remains best, so
-    ego4d_scratch keeps 4). Converted reference checkpoints need
-    nheads=8, so the plain preset keeps the reference geometry."""
+    docs/RESULTS.md round 3; ego4d_scratch_config likewise encodes
+    nheads=2 after the qc=16 serving sweep). Converted reference
+    checkpoints need nheads=8, so the plain preset keeps the reference
+    geometry."""
     cfg = mad_config()
     # seq_pad_multiple=16: at d_head=128 the sublane-aligned sequence
     # (145 -> 160) is a further +23% on the fine forward (15.04 ->

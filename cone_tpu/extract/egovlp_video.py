@@ -45,8 +45,15 @@ def _shim_parse_config():
     sys.modules["parse_config"] = mod
 
 
-def load_egovlp_params(checkpoint_path: str, cfg: EgoVlpConfig):
-    """Released EgoVLP checkpoint (torch) -> flax param tree."""
+def load_egovlp_params(checkpoint_path: str, cfg: EgoVlpConfig,
+                       load_temporal_fix: str = "zeros"):
+    """Released EgoVLP checkpoint (torch) -> flax param tree.
+
+    Passing the tower geometry activates the reference's checkpoint-compat
+    shim (egovlp/model.py:137-178): a checkpoint trained at a different
+    num_frames is truncated / zero-filled / bilinearly interpolated per
+    `load_temporal_fix`; a spatial-resolution mismatch raises like the
+    reference instead of producing garbage."""
     import torch
 
     from cone_tpu.models.egovlp import egovlp_state_dict_to_params
@@ -56,7 +63,11 @@ def load_egovlp_params(checkpoint_path: str, cfg: EgoVlpConfig):
                        weights_only=False)
     sd = state.get("state_dict", state)
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
-    return egovlp_state_dict_to_params(sd, depth=cfg.depth)
+    n_side = cfg.img_size // cfg.patch_size
+    return egovlp_state_dict_to_params(
+        sd, depth=cfg.depth, num_frames=cfg.num_frames,
+        load_temporal_fix=load_temporal_fix,
+        num_patches=n_side * n_side + 1)
 
 
 def extract_egovlp_video(

@@ -187,9 +187,66 @@ class SpaceTimeTransformer(nn.Module):
         return x[:, 0]
 
 
-def egovlp_state_dict_to_params(sd: dict, depth: int) -> dict:
+def inflate_temporal_embed(embed, num_frames: int, load_temporal_fix: str = "zeros"):
+    """Reconcile a checkpoint temporal_embed (1, F_ckpt, D) with a tower
+    configured for `num_frames`, matching the reference's
+    `_inflate_positional_embeds` (run_on_video/egovlp/model.py:137-169):
+
+    - checkpoint has MORE frames -> truncate to the first `num_frames`;
+    - FEWER frames + fix='zeros' (the reference default, model.py:15) ->
+      copy the loaded rows, zero-fill the rest;
+    - FEWER + fix='bilinear' -> torch F.interpolate semantics with
+      align_corners=True: the embed-dim axis keeps its size so the 2-D
+      bilinear kernel degenerates to linear interpolation along frames at
+      positions i*(F_ckpt-1)/(F_new-1);
+    - FEWER + fix='interp' -> ValueError: the reference passes
+      align_corners=True with mode='nearest', which torch rejects — that
+      branch has never been loadable, so we surface the same failure
+      instead of silently inventing a behavior.
+    """
+    import numpy as np
+
+    f_ckpt = embed.shape[1]
+    if f_ckpt == num_frames:
+        return embed
+    if f_ckpt > num_frames:
+        return embed[:, :num_frames].copy()
+    if load_temporal_fix == "zeros":
+        out = np.zeros((embed.shape[0], num_frames, embed.shape[2]),
+                       dtype=embed.dtype)
+        out[:, :f_ckpt] = embed
+        return out
+    if load_temporal_fix == "bilinear":
+        if f_ckpt == 1:
+            return np.broadcast_to(embed, (embed.shape[0], num_frames,
+                                           embed.shape[2])).copy()
+        src = np.arange(num_frames) * (f_ckpt - 1) / (num_frames - 1)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, f_ckpt - 1)
+        frac = (src - lo).astype(np.float32)[None, :, None]
+        out = embed[:, lo] * (1.0 - frac) + embed[:, hi] * frac
+        return out.astype(embed.dtype)
+    if load_temporal_fix == "interp":
+        raise ValueError(
+            "load_temporal_fix='interp' maps to torch mode='nearest' with "
+            "align_corners=True, which torch rejects (the reference path is "
+            "unloadable); use 'zeros' or 'bilinear'")
+    raise NotImplementedError(f"load_temporal_fix={load_temporal_fix!r}")
+
+
+def egovlp_state_dict_to_params(sd: dict, depth: int,
+                                num_frames: Optional[int] = None,
+                                load_temporal_fix: str = "zeros",
+                                num_patches: Optional[int] = None) -> dict:
     """Reference FrozenInTime torch weights ('video_model.*' + 'vid_proj.*',
-    optional 'module.' prefixes) -> EgoVlpVideoTower param tree."""
+    optional 'module.' prefixes) -> EgoVlpVideoTower param tree.
+
+    `num_frames`/`load_temporal_fix` reproduce the reference's checkpoint
+    compatibility shim `_inflate_positional_embeds` (egovlp/model.py:137-169)
+    so a released checkpoint trained at a different clip length still loads
+    (see inflate_temporal_embed). `num_patches` (spatial tokens incl. CLS)
+    mirrors its pos_embed guard: a spatial-resolution mismatch raises
+    NotImplementedError exactly like the reference (model.py:172-178)."""
     import numpy as np  # noqa: F401  (kept for symmetry with other converters)
 
     def _dense(name):
@@ -205,6 +262,15 @@ def egovlp_state_dict_to_params(sd: dict, depth: int) -> dict:
 
     sd = {k.replace("module.", ""): v for k, v in sd.items()}
     vm = "video_model"
+    if num_patches is not None and sd[f"{vm}.pos_embed"].shape[1] != num_patches:
+        raise NotImplementedError(
+            "Loading models with different spatial resolution / patch number "
+            f"not supported (checkpoint {sd[f'{vm}.pos_embed'].shape[1]} "
+            f"tokens, model {num_patches})")
+    temporal = sd[f"{vm}.temporal_embed"]
+    if num_frames is not None:
+        temporal = inflate_temporal_embed(temporal, num_frames,
+                                          load_temporal_fix)
     tower = {
         "patch_embed": {
             "kernel": sd[f"{vm}.patch_embed.proj.weight"].transpose(2, 3, 1, 0).copy(),
@@ -212,7 +278,7 @@ def egovlp_state_dict_to_params(sd: dict, depth: int) -> dict:
         },
         "cls_token": sd[f"{vm}.cls_token"].copy(),
         "pos_embed": sd[f"{vm}.pos_embed"].copy(),
-        "temporal_embed": sd[f"{vm}.temporal_embed"].copy(),
+        "temporal_embed": temporal.copy(),
         "norm": _ln(f"{vm}.norm"),
     }
     for i in range(depth):
