@@ -167,6 +167,12 @@ class EvalConfig:
     # name for the matching modality, cone/inference.py:489)
     eval_modality: str = "both"
     no_sort_results: bool = False
+    # compute the criterion's loss terms on the eval split at every
+    # train-time eval (deterministic positive/negative windows, dropout
+    # off) and log them next to the recall tables — the eval-loss curves
+    # the reference's eval_epoch wires up for TensorBoard
+    # (cone/inference.py:30-36, 96-98)
+    criterion_losses: bool = True
     # chunk of queries per device batch in the fine stage. Like
     # video_batch, SMALLER dispatches run faster device-side (XLA
     # optimizes the smaller program better: ego4d device q/s 5098/4759/
@@ -285,10 +291,17 @@ def ego4d_scratch_config() -> ConeConfig:
     nheads=2+pad 4 988 > nheads=8+pad 4 720 > nheads=4 unpadded 4 258
     q/s device (docs/RESULTS.md round 3). Converted reference checkpoints
     need nheads=8, so the plain preset keeps the reference geometry and
-    this one encodes the faster choice for new models."""
+    this one encodes the faster choice for new models.
+
+    compute_dtype=bfloat16: from-scratch training defaults to the native
+    MXU dtype — measured 7.3x faster steps on v5e (42.6 -> 5.8 ms,
+    tools/bench_train.py) with closely tracking losses (docs/RESULTS.md);
+    fp32 matmuls emulate via multi-pass bf16 on this chip. The plain
+    presets stay fp32 for converted-checkpoint parity."""
     cfg = ego4d_config()
-    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=2,
-                                                 seq_pad_multiple=16))
+    return cfg.replace(model=dataclasses.replace(
+        cfg.model, nheads=2, seq_pad_multiple=16,
+        compute_dtype="bfloat16"))
 
 
 def mad_scratch_config() -> ConeConfig:
@@ -304,9 +317,12 @@ def mad_scratch_config() -> ConeConfig:
     # seq_pad_multiple=16: at d_head=128 the sublane-aligned sequence
     # (145 -> 160) is a further +23% on the fine forward (15.04 ->
     # 12.20 ms, tools/bench_seqpad.py) — unlike the nheads=8 reference
-    # geometry where it is a wash (so mad_config keeps 1)
-    return cfg.replace(model=dataclasses.replace(cfg.model, nheads=2,
-                                                 seq_pad_multiple=16))
+    # geometry where it is a wash (so mad_config keeps 1).
+    # compute_dtype=bfloat16: same rationale as ego4d_scratch_config —
+    # scratch training runs at the MXU's native dtype (7.3x, RESULTS.md)
+    return cfg.replace(model=dataclasses.replace(
+        cfg.model, nheads=2, seq_pad_multiple=16,
+        compute_dtype="bfloat16"))
 
 
 def tan_ego4d_config() -> ConeConfig:

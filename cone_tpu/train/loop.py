@@ -167,6 +167,32 @@ def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
     return out
 
 
+def eval_criterion_losses(eval_loss_fn, params, eval_ds: GroundingDataset,
+                          cfg: ConeConfig, adapter_on: bool) -> dict:
+    """Criterion loss terms on the eval split: the same windowed batches the
+    train step consumes, sampled with a FIXED seed (seed, epoch=0) so every
+    eval scores the identical window set — the curves are comparable across
+    epochs, a cheap overfitting signal (the reference's eval-loss TB channel,
+    cone/inference.py:30-36, 96-98). Runs forward-only with dropout off on
+    each host's local devices (no collectives, so multi-host processes just
+    compute the same numbers)."""
+    import itertools
+
+    bsz = min(cfg.train.bsz, len(eval_ds))
+    if bsz == 0:
+        return {}
+    loader = TrainLoader(eval_ds, bsz=bsz, seed=cfg.train.seed)
+    meters = defaultdict(AverageMeter)
+    batches = loader.epoch(0)
+    if cfg.train.debug:
+        batches = itertools.islice(batches, 2)
+    for batch in batches:
+        losses = jax.device_get(eval_loss_fn(params, batch, adapter_on))
+        for k, v in losses.items():
+            meters[k].update(float(v))
+    return {k: m.avg for k, m in meters.items()}
+
+
 def _snapshot_code_version(workdir: str) -> None:
     """Experiment provenance: record the exact code state (the reference
     zips the source tree per run, cone/config.py:205-211; a git commit +
@@ -261,6 +287,21 @@ def train(
         tx = make_optimizer(params, cfg.train, loader.steps_per_epoch())
         opt_state = tx.init(params)
         step_fn = make_train_step(model, tx, cfg, mesh=mesh)
+
+    eval_loss_fn = None
+    if eval_ds is not None and cfg.eval.criterion_losses:
+        # local-device forward (mesh=None): the pass has no collectives and
+        # stays valid whatever mesh/multi-host layout training runs under
+        if cfg.model.model_family == "tan":
+            from cone_tpu.train.tan_step import make_tan_eval_loss_step
+
+            eval_loss_fn = make_tan_eval_loss_step(
+                model, cfg.tan, use_neg_loss=cfg.loss.neg_loss,
+                adapter_loss_coef=cfg.loss.adapter_loss_coef)
+        else:
+            from cone_tpu.train.step import make_eval_loss_step
+
+            eval_loss_fn = make_eval_loss_step(model, cfg)
 
     start_epoch = 0
     best_score, es_cnt = 0.0, 0
@@ -391,6 +432,14 @@ def train(
                 # the stop score drives early stopping on every process —
                 # divergence would deadlock the collectives
                 assert_same_across_processes(score, "stop score")
+            eval_losses = None
+            if eval_loss_fn is not None:
+                eval_losses = eval_criterion_losses(
+                    eval_loss_fn,
+                    jax.device_get(params) if multi else params,
+                    eval_ds, cfg, adapter_on)
+                epoch_log.update(
+                    {f"eval_{k}": v for k, v in eval_losses.items()})
             lr_now = None
             if plateau is not None:
                 opt_state, lr_now = plateau.step(score, opt_state)
@@ -398,7 +447,8 @@ def train(
             if is_main:
                 for t in res["tables"].values():
                     logger.log_text(t)
-                logger.log_eval(epoch + 1, score, lr=lr_now)
+                logger.log_eval(epoch + 1, score, lr=lr_now,
+                                losses=eval_losses)
                 save_jsonl(
                     res["submissions"]["fusion"],
                     os.path.join(workdir, "latest_preds.jsonl"),

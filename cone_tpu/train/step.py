@@ -25,19 +25,22 @@ from cone_tpu.models.losses import (
 from cone_tpu.parallel.mesh import batch_sharding, replicated
 
 
-def make_train_step(model: ConeModel, tx, cfg: ConeConfig, mesh=None):
-    """Returns train_step(params, opt_state, batch, rng, adapter_on) ->
-    (params, opt_state, metrics)."""
+def make_loss_fn(model: ConeModel, cfg: ConeConfig):
+    """The criterion as one function: (params, batch, rng, adapter_on,
+    deterministic) -> (total, per-term losses). Shared by the training step
+    (dropout on) and the eval-split loss pass (dropout off, the reference's
+    criterion.eval() stance, cone/inference.py:32-34)."""
     weights = loss_weight_dict(cfg.loss, cfg.model.dec_layers)
 
-    def loss_fn(params, batch, rng, adapter_on: bool):
+    def loss_fn(params, batch, rng, adapter_on: bool,
+                deterministic: bool = False):
         d1, d2 = jax.random.split(rng)
         variables = {"params": params}
         pos_out = model.apply(
             variables,
             batch["query_tokens"], batch["query_mask"],
             batch["pos_motion"], batch["pos_mask"],
-            deterministic=False, rngs={"dropout": d1},
+            deterministic=deterministic, rngs={"dropout": d1},
         )
         neg_out = None
         if cfg.loss.neg_loss:
@@ -46,7 +49,7 @@ def make_train_step(model: ConeModel, tx, cfg: ConeConfig, mesh=None):
                     variables,
                     batch["query_tokens"], batch["query_mask"],
                     batch["neg_motion"], batch["neg_mask"],
-                    deterministic=False, rngs={"dropout": d2},
+                    deterministic=deterministic, rngs={"dropout": d2},
                 )
             )
             neg_out["vid_mask"] = batch["neg_mask"]
@@ -71,6 +74,14 @@ def make_train_step(model: ConeModel, tx, cfg: ConeConfig, mesh=None):
         losses["loss_overall"] = total
         return total, losses
 
+    return loss_fn
+
+
+def make_train_step(model: ConeModel, tx, cfg: ConeConfig, mesh=None):
+    """Returns train_step(params, opt_state, batch, rng, adapter_on) ->
+    (params, opt_state, metrics)."""
+    loss_fn = make_loss_fn(model, cfg)
+
     def _step(params, opt_state, batch, rng, adapter_on: bool = False):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng, adapter_on
@@ -94,3 +105,25 @@ def make_train_step(model: ConeModel, tx, cfg: ConeConfig, mesh=None):
             in_shardings=(rep, rep, bsh, rep), out_shardings=(rep, rep, rep),
         )
     return jax.jit(_step, **jit_kwargs)
+
+
+def make_eval_loss_step(model: ConeModel, cfg: ConeConfig, mesh=None):
+    """Returns eval_loss_step(params, batch, adapter_on) -> per-term losses.
+
+    The criterion run forward-only on eval-split windows with dropout off —
+    the eval-loss curves the reference intends to TensorBoard during
+    eval_epoch (cone/inference.py:30-36, 96-98; in the released code the
+    meters are prepared but never filled, so this makes the feature real)."""
+    loss_fn = make_loss_fn(model, cfg)
+
+    def _eval(params, batch, adapter_on: bool = False):
+        _, losses = loss_fn(params, batch, jax.random.PRNGKey(0), adapter_on,
+                            deterministic=True)
+        return losses
+
+    jit_kwargs = dict(static_argnums=(2,))
+    if mesh is not None:
+        bsh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        jit_kwargs.update(in_shardings=(rep, bsh), out_shardings=rep)
+    return jax.jit(_eval, **jit_kwargs)

@@ -31,9 +31,9 @@ def iou_target_map_jnp(num_clips: int, start_pos, end_pos):
     return jnp.where(union > 0, inter / jnp.where(union == 0, 1.0, union), 0.0)
 
 
-def make_tan_train_step(model: ConeTanModel, tx, tan_cfg: TanConfig,
-                        use_neg_loss: bool = True, mesh=None,
-                        adapter_loss_coef: float = 0.1):
+def make_tan_loss_fn(model: ConeTanModel, tan_cfg: TanConfig,
+                     use_neg_loss: bool = True,
+                     adapter_loss_coef: float = 0.1):
     # adapter_loss_coef default = the reference's TRAIN.ADAPTER_LOSS_WEIGHT
     # (lib/core/config.py:83); the loop passes cfg.loss.adapter_loss_coef
     def loss_fn(params, batch, adapter_on: bool):
@@ -85,6 +85,14 @@ def make_tan_train_step(model: ConeTanModel, tx, tan_cfg: TanConfig,
         metrics["loss_overall"] = loss
         return loss, metrics
 
+    return loss_fn
+
+
+def make_tan_train_step(model: ConeTanModel, tx, tan_cfg: TanConfig,
+                        use_neg_loss: bool = True, mesh=None,
+                        adapter_loss_coef: float = 0.1):
+    loss_fn = make_tan_loss_fn(model, tan_cfg, use_neg_loss, adapter_loss_coef)
+
     def _step(params, opt_state, batch, rng, adapter_on: bool = False):
         del rng  # TAN has no dropout
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -102,3 +110,23 @@ def make_tan_train_step(model: ConeTanModel, tx, tan_cfg: TanConfig,
             in_shardings=(rep, rep, bsh, rep), out_shardings=(rep, rep, rep)
         )
     return jax.jit(_step, **jit_kwargs)
+
+
+def make_tan_eval_loss_step(model: ConeTanModel, tan_cfg: TanConfig,
+                            use_neg_loss: bool = True, mesh=None,
+                            adapter_loss_coef: float = 0.1):
+    """Forward-only criterion over eval-split windows (TAN has no dropout,
+    so this is the train loss fn without the update), mirroring the 2D-TAN
+    engine's loss-reporting test pass (cone_2dtan/lib/core/engine.py:75-102)."""
+    loss_fn = make_tan_loss_fn(model, tan_cfg, use_neg_loss, adapter_loss_coef)
+
+    def _eval(params, batch, adapter_on: bool = False):
+        _, metrics = loss_fn(params, batch, adapter_on)
+        return metrics
+
+    jit_kwargs = dict(static_argnums=(2,))
+    if mesh is not None:
+        bsh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        jit_kwargs.update(in_shardings=(rep, bsh), out_shardings=rep)
+    return jax.jit(_eval, **jit_kwargs)

@@ -49,18 +49,25 @@ class MetricLogger:
                 if isinstance(v, (int, float)) and k != "epoch":
                     self._tb.add_scalar(f"Train/{k}", v, record["epoch"])
 
-    def log_eval(self, epoch: int, stop_score: float, lr: float = None) -> None:
+    def log_eval(self, epoch: int, stop_score: float, lr: float = None,
+                 losses: dict = None) -> None:
+        """losses: eval-split criterion terms, logged as Eval/{k} scalars
+        (the reference's eval-loss TB channel, cone/inference.py:96-98)."""
         rec = {
             "ts": time.time(), "kind": "eval", "epoch": epoch,
             "stop_score": stop_score,
         }
         if lr is not None:
             rec["lr"] = lr
+        if losses:
+            rec.update({f"eval_{k}": float(v) for k, v in losses.items()})
         self._append(self.jsonl_path, json.dumps(rec))
         if self._tb:
             self._tb.add_scalar("Eval/stop_score", stop_score, epoch)
             if lr is not None:
                 self._tb.add_scalar("Train/lr", lr, epoch)
+            for k, v in (losses or {}).items():
+                self._tb.add_scalar(f"Eval/{k}", float(v), epoch)
 
     def log_text(self, text: str) -> None:
         self._append(self.eval_path, text)

@@ -83,6 +83,38 @@ def test_artifacts_written(trained, cfg):
     assert len(hp) == 1 and hp[0]["config"]["model"]["nheads"] == cfg.model.nheads
 
 
+def test_eval_criterion_losses(trained, cfg, ds):
+    """Every train-time eval logs the criterion's loss terms computed on the
+    eval split (the reference's eval-loss TensorBoard channel,
+    cone/inference.py:30-36, 96-98), and the pass is deterministic — a fixed
+    (seed, epoch=0) window draw with dropout off, so curves are comparable
+    across epochs."""
+    workdir, params, history = trained
+    records = [json.loads(l)
+               for l in open(os.path.join(workdir, "metrics.jsonl"))]
+    evals = [r for r in records if r["kind"] == "eval"]
+    assert evals
+    for r in evals:
+        assert np.isfinite(r["eval_loss_overall"])
+        assert np.isfinite(r["eval_loss_span"])
+    # also mirrored into the returned history for programmatic use
+    eval_epochs = [h for h in history if "eval_loss_overall" in h]
+    assert len(eval_epochs) == len(evals)
+
+    from cone_tpu.train.loop import eval_criterion_losses
+    from cone_tpu.train.step import make_eval_loss_step
+
+    model, _ = build_model_and_params(cfg.model, seed=0)
+    fn = make_eval_loss_step(model, cfg)
+    l1 = eval_criterion_losses(fn, params, ds, cfg, adapter_on=True)
+    l2 = eval_criterion_losses(fn, params, ds, cfg, adapter_on=True)
+    assert l1 == l2  # bit-deterministic
+    assert l1["loss_overall"] > 0 and "loss_adapter" in l1
+    # adapter gate mirrors training (cone/train.py:73-78)
+    assert "loss_adapter" not in eval_criterion_losses(
+        fn, params, ds, cfg, adapter_on=False)
+
+
 def test_eval_scores_improve_over_untrained(trained, cfg, ds):
     workdir, params, _ = trained
     model, params0 = build_model_and_params(cfg.model, seed=123)
