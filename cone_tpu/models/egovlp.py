@@ -260,7 +260,8 @@ def egovlp_state_dict_to_params(sd: dict, depth: int,
     def _attn(name):
         return {"qkv": _dense(f"{name}.qkv"), "proj": _dense(f"{name}.proj")}
 
-    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    if any(k.startswith("module.") for k in sd):  # DataParallel checkpoints
+        sd = {k.replace("module.", ""): v for k, v in sd.items()}
     vm = "video_model"
     if num_patches is not None and sd[f"{vm}.pos_embed"].shape[1] != num_patches:
         raise NotImplementedError(

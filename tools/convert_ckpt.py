@@ -99,11 +99,18 @@ def torch_state_dict_to_params(sd: dict, cfg: ModelConfig) -> dict:
     params["saliency_proj"] = _dense(sd, "saliency_proj")
     if cfg.adapter_module == "linear":
         params["adapter_layer"] = _mlp(sd, "adapter_layer", 2)
-    if cfg.use_txt_pos:
-        params["txt_position_embed"] = {
+    # the reference builds txt_position_embed UNCONDITIONALLY (model.py:480,
+    # build_position_encoding) and only gates its USE on use_txt_pos
+    # (model.py:106) — so real checkpoints always carry these tensors. With
+    # use_txt_pos=False they are consumed-and-dropped here (the flax model
+    # has no unused module to hold them; they never touch the forward).
+    if "txt_position_embed.position_embeddings.weight" in sd:
+        txt_pos = {
             "position_embeddings": sd["txt_position_embed.position_embeddings.weight"].copy(),
             "LayerNorm": _ln(sd, "txt_position_embed.LayerNorm"),
         }
+        if cfg.use_txt_pos:
+            params["txt_position_embed"] = txt_pos
     return params
 
 
@@ -175,6 +182,18 @@ def params_to_torch_state_dict(params: dict, cfg: ModelConfig) -> dict:
             params["txt_position_embed"]["position_embeddings"]).copy()
         _inv_ln(out, "txt_position_embed.LayerNorm",
                 params["txt_position_embed"]["LayerNorm"])
+    else:
+        # the reference model owns these tensors even when use_txt_pos=False
+        # (built unconditionally, model.py:480; unused in forward) and
+        # load_state_dict is strict (inference.py:529) — synthesize
+        # fresh-init values so the export loads: LN at its torch init
+        # (ones/zeros), embedding zeros
+        out["txt_position_embed.position_embeddings.weight"] = np.zeros(
+            (cfg.max_q_l, cfg.hidden_dim), np.float32)
+        out["txt_position_embed.LayerNorm.weight"] = np.ones(
+            cfg.hidden_dim, np.float32)
+        out["txt_position_embed.LayerNorm.bias"] = np.zeros(
+            cfg.hidden_dim, np.float32)
     return out
 
 
