@@ -1,19 +1,28 @@
-"""Benchmark: full coarse-to-fine Ego4D-scale inference throughput.
+"""Benchmark: compound guard over every flagship path.
 
-Workload (BASELINE.json config #3): Ego4D-sized synthetic features — 20-min
-videos at 1.87 fps (~2244 clips, 256-d), window=90, top-20 windows, 5 moment
-queries, NMS 0.5 — run through the complete pipeline (coarse window
+Primary workload (BASELINE.json config #3): Ego4D-sized synthetic features —
+20-min videos at 1.87 fps (~2244 clips, 256-d), window=90, top-20 windows, 5
+moment queries, NMS 0.5 — run through the complete pipeline (coarse window
 ranking, batched fine forward, on-device fusion + NMS).
 
 Prints ONE json line:
     {"metric": "ego4d_infer_qps", "value": <queries/sec>, "unit":
-     "queries/sec", "vs_baseline": <speedup vs reference-style loop>}
+     "queries/sec", "vs_baseline": <speedup vs reference-style loop>, ...}
 
 vs_baseline is measured on the SAME chip: the reference architecture runs
 one window per forward in a Python loop (cone/inference.py:40-67 with
 eval_bsz queries => bsz window-batches of ragged size; the dominant cost is
 topk sequential forwards per query). We time that loop shape and report the
 ratio — i.e. the speedup attributable to the windows-as-batch-axis design.
+
+The same line also carries compact fixed-geometry sub-benches so a
+regression in ANY flagship path shows in BENCH_r{N}.json, not just Ego4D
+serving: `mad_device_qps` (movie-scale fused inference, scaled-down from
+tools/bench_mad.py), `tan_device_qps` (the 2D-TAN family,
+tools/bench_tan.py), and `train_samples_per_sec`/`train_mfu` (the bf16
+training step, tools/bench_train.py). All device-side numbers are fenced
+with tunnel_sync in THIS process, so round-to-round comparisons are honest;
+device_qps-style metrics are tunnel-independent and are the ones to guard.
 """
 
 from __future__ import annotations
@@ -27,6 +36,158 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def bench_mad_small():
+    """Fixed MAD-geometry pass, scaled down (1 movie, 64 queries, one ctx
+    bucket) from tools/bench_mad.py so the guard stays cheap. Guard metric:
+    mad_device_qps."""
+    import time
+
+    from cone_tpu.config import ConeConfig, DataConfig, EvalConfig, ModelConfig
+    from cone_tpu.data import make_synthetic_dataset
+    from cone_tpu.eval.pipeline import InferencePipeline
+    from cone_tpu.models.init import build_model_and_params
+    from cone_tpu.utils.perf import device_time_fused
+
+    dim, ctx = 512, 36000  # 2 h @ 5 fps, CLIP ViT-B/32 dims
+    cfg = ConeConfig(
+        model=ModelConfig(t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_v_l=125, max_q_l=20,
+                          compute_dtype="bfloat16"),
+        data=DataConfig(dset_name="mad", max_v_l=125, clip_length=0.2,
+                        topk_window=30, max_q_l=20, max_ctx_l=65536),
+        eval=EvalConfig(nms_thd=0.5, max_after_nms=5, query_chunk=16,
+                        video_batch=1, ctx_buckets=(36864,)),
+    )
+    ds = make_synthetic_dataset(
+        cfg.data, n_videos=1, queries_per_video=64,
+        ctx_l_range=(ctx - 5, ctx), dim=dim, q_len_range=(8, 20), seed=0)
+    n_queries = len(ds)
+    model, params = build_model_and_params(cfg.model, seed=0)
+    pipe = InferencePipeline(model, params, ds, cfg)
+    t0 = time.time()
+    pipe.run(host_postproc=False, fused=True)
+    log(f"mad: warmup {time.time() - t0:.1f}s")
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        pipe.run(host_postproc=False, fused=True)
+        wall = min(wall, time.time() - t0)
+    dev_s_per_q, per_pass = device_time_fused(pipe, n_queries, repeats=3)
+    log(f"mad: device {per_pass * 1e3:.1f} ms/pass -> {1 / dev_s_per_q:.1f}"
+        f" q/s | wall {n_queries / wall:.1f} q/s")
+    del pipe
+    return {
+        "mad_infer_qps": round(n_queries / wall, 2),
+        "mad_device_qps": round(1 / dev_s_per_q, 2),
+    }
+
+
+def bench_tan_small():
+    """2D-TAN family (tan_ego4d geometry), scaled down from
+    tools/bench_tan.py. Guard metric: tan_device_qps."""
+    import dataclasses as dc
+    import time
+
+    from cone_tpu.config import EvalConfig, tan_ego4d_config
+    from cone_tpu.data import make_synthetic_dataset
+    from cone_tpu.eval.pipeline import make_pipeline
+    from cone_tpu.train.loop import build_family
+    from cone_tpu.utils.perf import device_time_fused
+
+    dim = 256
+    cfg = tan_ego4d_config()
+    cfg = cfg.replace(
+        # synthetic corpus: token dim == cls dim == appearance dim
+        tan=dc.replace(cfg.tan, t_feat_dim=dim),
+        model=dc.replace(cfg.model, t_feat_dim=dim),
+        eval=EvalConfig(nms_thd=0.5, max_after_nms=5, query_chunk=8,
+                        video_batch=1, corpus_dtype="int8"),
+    )
+    ds = make_synthetic_dataset(
+        cfg.data, n_videos=1, queries_per_video=16,
+        ctx_l_range=(2240, 2245), dim=dim, q_len_range=(8, 20), seed=0)
+    n_queries = len(ds)
+    model, params = build_family(cfg, seed=0)
+    pipe = make_pipeline(model, params, ds, cfg)
+    t0 = time.time()
+    pipe.run(host_postproc=False, fused=True)
+    log(f"tan: warmup {time.time() - t0:.1f}s")
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        pipe.run(host_postproc=False, fused=True)
+        wall = min(wall, time.time() - t0)
+    dev_s_per_q, per_pass = device_time_fused(pipe, n_queries, repeats=3)
+    log(f"tan: device {per_pass * 1e3:.1f} ms/pass -> {1 / dev_s_per_q:.1f}"
+        f" q/s | wall {n_queries / wall:.1f} q/s")
+    del pipe
+    return {
+        "tan_infer_qps": round(n_queries / wall, 2),
+        "tan_device_qps": round(1 / dev_s_per_q, 2),
+    }
+
+
+def bench_train_small():
+    """bf16 training step at the full Ego4D geometry (tools/bench_train.py
+    recipe, fewer steps). Guard metrics: train_samples_per_sec, train_mfu."""
+    import time
+
+    import jax
+
+    from cone_tpu.config import ConeConfig, DataConfig, ModelConfig, TrainConfig
+    from cone_tpu.data import make_synthetic_dataset
+    from cone_tpu.data.dataset import TrainLoader
+    from cone_tpu.models.init import build_model_and_params
+    from cone_tpu.train.optim import make_optimizer
+    from cone_tpu.train.step import make_train_step
+    from cone_tpu.utils.perf import sync_latency, train_perf_report, tunnel_sync
+
+    dim = 256
+    cfg = ConeConfig(
+        model=ModelConfig(t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_v_l=90, max_q_l=20,
+                          compute_dtype="bfloat16"),
+        data=DataConfig(max_v_l=90, max_q_l=20, clip_length=0.535),
+        train=TrainConfig(bsz=32),
+    )
+    ds = make_synthetic_dataset(cfg.data, n_videos=4, queries_per_video=16,
+                                ctx_l_range=(900, 1200), dim=dim, seed=0)
+    model, params = build_model_and_params(cfg.model, seed=0)
+    loader = TrainLoader(ds, bsz=cfg.train.bsz, seed=0)
+    tx = make_optimizer(params, cfg.train, loader.steps_per_epoch())
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, cfg)
+    rng = jax.random.PRNGKey(0)
+    batches = list(loader.epoch(0))
+
+    t0 = time.time()
+    params, opt_state, m = step(params, opt_state, batches[0], rng, True)
+    tunnel_sync(m["loss_overall"])
+    log(f"train: compile {time.time() - t0:.1f}s")
+
+    dev_batches = jax.device_put(batches)
+    tunnel_sync(dev_batches)
+    lat = sync_latency()
+    t0 = time.time()
+    n = 0
+    for _ in range(5):
+        for b in dev_batches:
+            rng, sub = jax.random.split(rng)
+            params, opt_state, m = step(params, opt_state, b, sub, True)
+            n += 1
+    tunnel_sync(m["loss_overall"])
+    dt = (time.time() - t0 - lat) / n
+    rep = train_perf_report(cfg, cfg.train.bsz / dt, adapter_on=True)
+    log(f"train: {dt * 1e3:.2f} ms/step -> {cfg.train.bsz / dt:.0f} samples/s"
+        f" | MFU {rep['train_mfu'] * 100:.1f}% (bf16 peak,"
+        f" {rep['flops_per_sample'] / 1e9:.2f} GFLOP/sample)")
+    return {
+        "train_samples_per_sec": rep["train_samples_per_sec"],
+        "train_mfu": rep["train_mfu"],
+        "train_flops_per_sample": rep["flops_per_sample"],
+    }
 
 
 def main():
@@ -196,6 +357,16 @@ def main():
         f"{pw_h2d * 1e3:.2f} ms with H2D -> baseline {baseline_qps:.2f} / "
         f"{baseline_faithful_qps:.2f} q/s")
 
+    # ---- compound guard: the other flagship paths, same process ----------
+    extra = {}
+    for name, fn in (("mad", bench_mad_small), ("tan", bench_tan_small),
+                     ("train", bench_train_small)):
+        try:
+            extra.update(fn())
+        except Exception as e:  # a broken sub-bench must not hide the rest
+            log(f"{name} sub-bench FAILED: {type(e).__name__}: {e}")
+            extra[f"{name}_bench_error"] = f"{type(e).__name__}: {e}"
+
     # second wall block (see comment above: widen the time window best-of
     # samples from, the tunnel's slow patches last minutes)
     wall_runs(4)
@@ -219,6 +390,9 @@ def main():
         "mfu_best": perf16["mfu"],
         # device_qps is the stable cross-session number (tunnel-independent)
         **perf,
+        # compound guard: MAD / TAN / training sub-benches (device-side
+        # numbers are the ones to compare round-to-round)
+        **extra,
     }))
 
 
