@@ -29,3 +29,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the real 2-process Gloo cluster tests FIRST, while the machine is
+    at its least contended (nothing else from the suite has spawned worker
+    threads or filled the page cache with model arrays yet). The ranks race
+    Gloo's hard ~30 s communicator-rendezvous window on this 1-core host —
+    scheduling them early measurably cuts the transient-failure retries
+    (see tests/test_multiprocess.py dist_retries.json). Stable sort keeps
+    every other test in its original order."""
+    items.sort(key=lambda it: 0 if "test_multiprocess" in it.nodeid else 1)

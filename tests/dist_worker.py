@@ -6,7 +6,14 @@ all-reduce over the Gloo backend) and the sharded+gathered eval, then dumps
 a JSON summary the parent test compares across ranks and against a
 single-process reference run.
 
-Usage: python dist_worker.py <process_id> <port> <workdir> <out_prefix>
+Usage: python dist_worker.py <process_id> <port> <workdir> <out_prefix> \
+           [num_processes]
+
+num_processes=1 is the PRE-WARM mode: the same code path runs as a solo
+"cluster" (coordination service + local mesh, no Gloo peers) before the real
+2-process spawn, so module imports, the persistent compile cache and the OS
+page cache are hot when the ranks race Gloo's hard ~30 s communicator
+rendezvous window (see test_multiprocess.py).
 """
 
 import json
@@ -16,6 +23,7 @@ import sys
 def main():
     pid, port, workdir, out_prefix = (
         int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4])
+    num_processes = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 
     import jax
 
@@ -24,11 +32,13 @@ def main():
 
     from cone_tpu.parallel.distributed import global_mesh, initialize
 
-    initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid,
-               local_device_count=2)
-    assert jax.process_count() == 2, jax.process_count()
+    # keep the GLOBAL device count at 4 in both modes so the mesh (and the
+    # per-device batch shapes it induces) is identical
+    initialize(f"127.0.0.1:{port}", num_processes=num_processes,
+               process_id=pid, local_device_count=4 // num_processes)
+    assert jax.process_count() == num_processes, jax.process_count()
     assert jax.device_count() == 4, jax.device_count()
-    assert len(jax.local_devices()) == 2
+    assert len(jax.local_devices()) == 4 // num_processes
 
     from tests.dist_worker_cfg import make_cfg_and_ds
 
