@@ -156,6 +156,17 @@ class TrainConfig:
     # chunk (the reference's --debug break-all-loops flag, cone/config.py:27-28,
     # train.py:101-102)
     debug: bool = False
+    # PRNG implementation for the training rng stream (dropout masks).
+    # "threefry" = jax default, counter-based, bit-stable across versions;
+    # "rbg" = XLA RngBitGenerator. Honest rejection: rbg won a
+    # forward-only microbench (1.10 ms deterministic vs 2.93 ms threefry
+    # dropout vs 1.62 ms rbg at bsz 128) but the full bf16 train step is
+    # 3.7x SLOWER with rbg (16.7 -> 64.0 ms/step, tools/bench_rng.py,
+    # two sessions) — the RngBitGenerator HLO blocks fusion in the
+    # fwd+bwd program. All presets keep threefry; the knob stays for
+    # experimentation (masks differ between impls but both are valid
+    # dropout). docs/RESULTS.md round 4.
+    rng_impl: str = "threefry"
 
 
 @dataclass(frozen=True)

@@ -342,7 +342,12 @@ def train(
             out["plateau_num_bad"] = plateau.num_bad
         return out
 
-    rng = jax.random.PRNGKey(cfg.train.seed)
+    if cfg.train.rng_impl == "threefry":
+        rng = jax.random.PRNGKey(cfg.train.seed)
+    else:
+        # typed key: the impl travels with the key through split/dropout,
+        # so the whole step uses it (config.py TrainConfig.rng_impl)
+        rng = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
     history = []
 
     for epoch in range(start_epoch, cfg.train.n_epoch):

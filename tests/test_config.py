@@ -28,6 +28,11 @@ def test_scratch_preset_differs_only_in_geometry():
     # converted-checkpoint parity
     assert scratch.model.compute_dtype == "bfloat16"
     assert base.model.compute_dtype == "float32"
+    # rng_impl stays threefry everywhere: rbg won a forward-only
+    # microbench but lost the full train step 3.7x (tools/bench_rng.py,
+    # docs/RESULTS.md round 4)
+    assert scratch.train.rng_impl == "threefry"
+    assert base.train.rng_impl == "threefry"
     assert scratch.replace(
         model=dataclasses.replace(scratch.model, nheads=8,
                                   compute_dtype="float32")) == base
@@ -74,6 +79,8 @@ def test_mad_scratch_preset_differs_only_in_geometry():
     assert base.model.seq_pad_multiple == 1
     assert scratch.model.compute_dtype == "bfloat16"
     assert base.model.compute_dtype == "float32"
+    assert scratch.train.rng_impl == "threefry"
+    assert base.train.rng_impl == "threefry"
     assert scratch.replace(
         model=dataclasses.replace(scratch.model, nheads=8,
                                   seq_pad_multiple=1,
