@@ -135,7 +135,8 @@ def cmd_train(args):
         n = int(len(train_ds.examples) * cfg.data.train_data_ratio)
         train_ds.examples = train_ds.examples[:n]
         print(f"train_data_ratio={cfg.data.train_data_ratio}: {n} train samples")
-    mesh = make_mesh() if args.mesh else None
+    tp = cfg.train.tp_devices
+    mesh = make_mesh(tp=tp) if (args.mesh or tp > 1) else None
     train(cfg, train_ds, eval_ds, args.workdir, mesh=mesh, profile=args.profile,
           init_ckpt=args.init_ckpt)
 

@@ -146,6 +146,13 @@ class TrainConfig:
     exp_id: str = "exp"
     save_interval: int = 50
     dp_devices: int = 1           # data-parallel mesh size
+    # tensor-parallel mesh size: >1 builds a (dp, tp) mesh and Megatron-
+    # shards the transformer matmul params over the inner "tp" axis
+    # (parallel/mesh.param_shardings). Single-process only (tp all-reduces
+    # belong on ICI); evals flatten back to full-device DP. At CONE scale
+    # this is a framework capability, not a capacity need — see
+    # parallel/mesh.py module docstring.
+    tp_devices: int = 1
     # ECCV'22 leaderboard recipe: per example, 3 extra variable-length
     # windows (0.4-2x stride, GT-covering) join the batch as additional
     # Moment-DETR rows (data/multiscale.py MultiscaleTrainLoader,
@@ -239,16 +246,9 @@ class ConeConfig:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
 
-    # fields that existed in older config snapshots and were since removed;
-    # dropped silently on load so saved opt.json files keep round-tripping
-    _LEGACY_FIELDS = {"train": ("eval_bsz",)}
-
     @classmethod
     def from_json(cls, s: str) -> "ConeConfig":
         raw = json.loads(s)
-        for section, keys in cls._LEGACY_FIELDS.items():
-            for k in keys:
-                raw.get(section, {}).pop(k, None)
         eval_raw = raw.get("eval", {})
         if "ctx_buckets" in eval_raw:
             eval_raw["ctx_buckets"] = tuple(eval_raw["ctx_buckets"])
@@ -257,13 +257,30 @@ class ConeConfig:
                   "map_paddings"):
             if k in tan_raw:
                 tan_raw[k] = tuple(tan_raw[k])
+
+        def build(section_cls, section_raw, name):
+            # keys this build doesn't know (renamed/removed fields, or a
+            # workdir written by a NEWER build) are dropped with a warning
+            # instead of failing the load — saved opt.json snapshots must
+            # round-trip across versions in both directions
+            known = {f.name for f in dataclasses.fields(section_cls)}
+            unknown = sorted(set(section_raw) - known)
+            if unknown:
+                import warnings
+
+                warnings.warn(
+                    f"config section '{name}': ignoring unknown keys "
+                    f"{unknown} (written by a different cone_tpu version)")
+            return section_cls(
+                **{k: v for k, v in section_raw.items() if k in known})
+
         return cls(
-            model=ModelConfig(**raw.get("model", {})),
-            loss=LossConfig(**raw.get("loss", {})),
-            data=DataConfig(**raw.get("data", {})),
-            train=TrainConfig(**raw.get("train", {})),
-            eval=EvalConfig(**raw.get("eval", {})),
-            tan=TanConfig(**tan_raw),
+            model=build(ModelConfig, raw.get("model", {}), "model"),
+            loss=build(LossConfig, raw.get("loss", {}), "loss"),
+            data=build(DataConfig, raw.get("data", {}), "data"),
+            train=build(TrainConfig, raw.get("train", {}), "train"),
+            eval=build(EvalConfig, raw.get("eval", {}), "eval"),
+            tan=build(TanConfig, tan_raw, "tan"),
         )
 
     def save(self, path: str) -> None:

@@ -1,10 +1,20 @@
 """Device mesh + sharding helpers.
 
-The model is ~10 M params, so parameters are replicated and the batch
+The model is ~10 M params, so parameters default to replicated and the batch
 dimension (training window-batches; inference query x window batches) is the
-only sharded axis — pure data parallelism over ICI ("dp"). This is the
+primary sharded axis — data parallelism over ICI ("dp"). This is the
 TPU-native equivalent of scaling the reference's single-GPU pipeline
 (SURVEY.md §2.5): the per-window Python loop becomes a sharded batch axis.
+
+An optional second mesh axis ("tp") tensor-shards the transformer's matmul
+parameters Megatron-style (column-parallel QKV/FFN-in, row-parallel
+out-proj/FFN-out — see `param_shardings`). At CONE's 4.5-10 M parameters TP
+is never a capacity necessity; it exists because the framework is the
+product: the same annotate-and-let-GSPMD-partition recipe carries to bigger
+towers (the flax CLIP/EgoVLP extractors) unchanged, and XLA inserts the
+all-reduces over ICI. Pipeline/sequence axes are deliberately absent: 2+2
+transformer layers and seq<=128 leave nothing for pp/sp to ride
+(docs/PARITY.md "Parallelism").
 """
 
 from __future__ import annotations
@@ -16,10 +26,86 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
+              tp: int = 1) -> Mesh:
+    """1-D dp mesh, or a (dp, tp) 2-D mesh when tp > 1.
+
+    tp slots into the fastest-varying (innermost, adjacent-device) positions
+    so its per-layer all-reduces ride the shortest ICI hops; dp's one
+    per-step gradient reduction takes the outer axis."""
     devs = jax.devices()
     n = n_devices or len(devs)
-    return Mesh(np.array(devs[:n]), (axis,))
+    if tp <= 1:
+        return Mesh(np.array(devs[:n]), (axis,))
+    assert n % tp == 0, f"mesh size {n} must divide by tp={tp}"
+    return Mesh(np.array(devs[:n]).reshape(n // tp, tp), (axis, "tp"))
+
+
+def tp_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None or "tp" not in mesh.axis_names:
+        return 1
+    return int(mesh.shape["tp"])
+
+
+def dp_submesh(mesh: Mesh, axis: str = "dp") -> Mesh:
+    """Flatten a (dp, tp) mesh into a 1-D dp mesh over the same devices —
+    the eval/serving layout (params replicated, queries sharded)."""
+    return Mesh(mesh.devices.reshape(-1), (axis,))
+
+
+# Megatron-style TP placement for the DETR transformer (models/transformer.py):
+# column-parallel producers paired with row-parallel consumers so each
+# attention/FFN block needs exactly one all-reduce on its output. Matched by
+# param-path suffix; anything unmatched (LayerNorms, heads, input projections,
+# embeddings — all tiny) stays replicated.
+_TP_RULES = (
+    ("in_proj/kernel", P(None, "tp")),   # (D, 3D) packed QKV, columns split
+    ("in_proj/bias", P("tp")),
+    ("out_proj/kernel", P("tp", None)),  # (D, D) row-parallel
+    ("linear1/kernel", P(None, "tp")),   # (D, F) FFN in, columns split
+    ("linear1/bias", P("tp")),
+    ("linear2/kernel", P("tp", None)),   # (F, D) FFN out, row-parallel
+)
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding tree for a param tree on a (dp, tp) mesh.
+
+    A rule only applies when the sharded dimension divides by the tp size
+    (otherwise that leaf silently stays replicated — correctness never
+    depends on geometry). On a 1-D mesh everything is replicated.
+
+    Works on any pytree whose leaf PATHS end with the transformer param
+    names — including optimizer states, whose moment trees nest the param
+    tree verbatim (scalars like step counts replicate)."""
+    tp = tp_size(mesh)
+
+    def path_str(path) -> str:
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    def spec_for(path, leaf):
+        shape = getattr(leaf, "shape", None)
+        if tp > 1 and shape is not None:
+            s = path_str(path)
+            for suffix, spec in _TP_RULES:
+                if not s.endswith(suffix):
+                    continue
+                ok = len(spec) == len(shape) and all(
+                    name is None or shape[dim] % tp == 0
+                    for dim, name in enumerate(spec)
+                )
+                if ok:
+                    return NamedSharding(mesh, spec)
+                break
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put a param tree with `param_shardings` (host round trip first
+    so re-sharding an already-placed tree is layout-change, not an error)."""
+    return jax.device_put(jax.device_get(params), param_shardings(params, mesh))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:

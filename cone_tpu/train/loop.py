@@ -99,6 +99,14 @@ def evaluate(model, params, eval_ds: GroundingDataset, cfg: ConeConfig,
 
         eval_ds = copy.copy(eval_ds)
         eval_ds.examples = eval_ds.examples[: max(cfg.eval.query_chunk, 8)]
+    from cone_tpu.parallel.mesh import dp_submesh, tp_size
+
+    if tp_size(mesh) > 1:
+        # eval shards QUERIES, not params: flatten (dp, tp) into one dp axis
+        # so every device does data parallelism, and pull the tensor-sharded
+        # training params to host for the replicated pipeline programs
+        params = jax.device_get(params)
+        mesh = dp_submesh(mesh)
     ds_local, multi = eval_ds, jax.process_count() > 1
     if multi:
         import copy
@@ -334,6 +342,23 @@ def train(
         rep = NamedSharding(mesh, P())
         params = jax.device_put(jax.device_get(params), rep)
         opt_state = jax.device_put(jax.device_get(opt_state), rep)
+    from cone_tpu.parallel.mesh import tp_size
+
+    if tp_size(mesh) > 1:
+        # dp x tp: tensor-shard the transformer matmul params Megatron-style
+        # (parallel/mesh.param_shardings); the step's jit respects these
+        # committed layouts. The optimizer state's moment trees nest the
+        # param tree verbatim, so the same path-suffix rules shard them to
+        # matching layouts (scalars like step counts replicate) — works for
+        # a fresh init AND a checkpoint-restored host tree.
+        assert not multi, (
+            "tensor parallelism (train.tp_devices > 1) is single-process: "
+            "tp all-reduces must ride ICI, not DCN")
+        from cone_tpu.parallel.mesh import param_shardings, shard_params
+
+        params = shard_params(params, mesh)
+        opt_state = jax.device_put(
+            jax.device_get(opt_state), param_shardings(opt_state, mesh))
 
     def _extra():
         out = {"best_score": best_score, "es_cnt": es_cnt}

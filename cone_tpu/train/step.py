@@ -22,7 +22,7 @@ from cone_tpu.models.losses import (
     loss_weight_dict,
     total_loss,
 )
-from cone_tpu.parallel.mesh import batch_sharding, replicated
+from cone_tpu.parallel.mesh import batch_sharding, replicated, tp_size
 
 
 def make_loss_fn(model: ConeModel, cfg: ConeConfig):
@@ -97,13 +97,26 @@ def make_train_step(model: ConeModel, tx, cfg: ConeConfig, mesh=None):
     # passed positionally.
     jit_kwargs = dict(static_argnums=(4,), donate_argnums=(0, 1))
     if mesh is not None:
-        # DP: batch sharded on its leading axis, params/optimizer replicated;
-        # XLA inserts the gradient all-reduce over ICI.
         bsh = batch_sharding(mesh)
         rep = replicated(mesh)
-        jit_kwargs.update(
-            in_shardings=(rep, rep, bsh, rep), out_shardings=(rep, rep, rep),
-        )
+        if tp_size(mesh) > 1:
+            # dp x tp: params/opt_state arrive pre-sharded Megatron-style
+            # (parallel/mesh.shard_params); None = respect each argument's
+            # committed sharding and let GSPMD propagate the outputs (the
+            # donated buffers keep their layouts, so steps stay reshard-free).
+            # XLA inserts both the per-layer tp all-reduces and the dp
+            # gradient all-reduce.
+            jit_kwargs.update(
+                in_shardings=(None, None, bsh, rep),
+                out_shardings=(None, None, rep),
+            )
+        else:
+            # DP: batch sharded on its leading axis, params/optimizer
+            # replicated; XLA inserts the gradient all-reduce over ICI.
+            jit_kwargs.update(
+                in_shardings=(rep, rep, bsh, rep),
+                out_shardings=(rep, rep, rep),
+            )
     return jax.jit(_step, **jit_kwargs)
 
 

@@ -56,6 +56,26 @@ def test_legacy_field_dropped_on_load():
     assert not hasattr(cfg.train, "eval_bsz")
 
 
+def test_unknown_keys_warn_but_load():
+    """A workdir config written by a NEWER build (keys this version doesn't
+    know) must still load — unknown keys drop with a warning, known ones
+    apply."""
+    import json
+    import warnings
+
+    raw = json.loads(ConeConfig().to_json())
+    raw["train"]["bsz"] = 64
+    raw["train"]["some_future_knob"] = True
+    raw["model"]["another_future_knob"] = "x"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = ConeConfig.from_json(json.dumps(raw))
+    assert cfg.train.bsz == 64
+    msgs = [str(x.message) for x in w]
+    assert any("some_future_knob" in m for m in msgs)
+    assert any("another_future_knob" in m for m in msgs)
+
+
 def test_mad_presets_geometry():
     mad = mad_config()
     assert mad.data.topk_window == 30 and mad.data.max_v_l == 125
