@@ -60,7 +60,7 @@ class LinearLayer(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         if self.layer_norm:
-            x = nn.LayerNorm(name="LayerNorm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="LayerNorm")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, name="linear", dtype=self.dtype)(x)
         if self.relu:
@@ -101,7 +101,7 @@ class TrainableTextPos(nn.Module):
             nn.initializers.normal(0.02),
             (self.max_len, self.hidden),
         )
-        emb = nn.LayerNorm(name="LayerNorm")(x + table[None, :l])
+        emb = nn.LayerNorm(epsilon=1e-5, name="LayerNorm")(x + table[None, :l])
         return nn.Dropout(self.dropout)(emb, deterministic=deterministic)
 
 

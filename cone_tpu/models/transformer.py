@@ -132,8 +132,15 @@ class EncoderLayer(nn.Module):
         )
         ffn = _FFN(self.d_model, self.dim_feedforward, self.dropout, self.dtype,
                    name="ffn")
-        norm1 = nn.LayerNorm(name="norm1")
-        norm2 = nn.LayerNorm(name="norm2")
+        # epsilon=1e-5 (torch nn.LayerNorm default) rather than flax's 1e-6,
+        # here and in every CONE-family norm: at init the decoder layer-0
+        # self-attn block output is exactly zero (zero-init attention
+        # biases), so that norm's input has zero variance and the BACKWARD
+        # scales by 1/sqrt(eps) — a 1e-6 eps makes early-training gradients
+        # sqrt(10)x the reference's while every forward output still
+        # matches (tests/test_train_parity.py).
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         if self.pre_norm:
@@ -170,9 +177,9 @@ class DecoderLayer(nn.Module):
         )
         ffn = _FFN(self.d_model, self.dim_feedforward, self.dropout, self.dtype,
                    name="ffn")
-        norm1 = nn.LayerNorm(name="norm1")
-        norm2 = nn.LayerNorm(name="norm2")
-        norm3 = nn.LayerNorm(name="norm3")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         if self.pre_norm:
@@ -239,13 +246,13 @@ class DetrTransformer(nn.Module):
                 self.pre_norm, self.dtype, name=f"encoder_layer_{i}",
             )(out, key_padding, pos_embed, deterministic)
         if self.pre_norm:
-            out = nn.LayerNorm(name="encoder_norm")(out)
+            out = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")(out)
         memory = out
 
         b = src.shape[0]
         q = jnp.broadcast_to(query_embed[None], (b,) + query_embed.shape)
         tgt = jnp.zeros_like(q)
-        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         intermediate = []
         for i in range(self.num_decoder_layers):
             tgt = DecoderLayer(

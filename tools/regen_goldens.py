@@ -37,6 +37,7 @@ GOLDEN = os.path.join(REPO, "tests", "golden")
 # generator script -> fixture files it writes (relative to tests/golden/)
 GENERATORS = {
     "gen_golden.py": ["cone_forward.npz"],
+    "gen_golden_train.py": ["train_trajectory.npz"],
     "gen_golden_multispan.py": ["cone_multispan.npz"],
     "gen_golden_e2e.py": ["e2e_inference.npz", "e2e_inference_mad.npz"],
     "gen_golden_edges.py": ["edge_inference.npz"],
