@@ -55,9 +55,14 @@ def sparse_map_layout(num_clips: int, num_scale_layers: Sequence[int]):
             ori_s = list(range(0, num_clips - acum_layers - i * stride, stride))
             ori_e = [s_idx + acum_layers + i * stride for s_idx in ori_s]
             # the pooled sequence may be shorter than the scatter range at
-            # the edge; the reference guards with try/except (sparse.py:29-31)
+            # the edge; the reference guards with try/except (sparse.py:29-31).
+            # At small num_clips/deep scale stacks a stage can run past the
+            # map entirely (n <= 0) — skip it like the reference's except
+            # does (an empty index list would also trip jnp.asarray([]),
+            # which defaults to float and breaks .at[] indexing).
             n = min(n, length, len(ori_s))
-            records.append((scale_idx, i, k, s, ori_s[:n], ori_e[:n]))
+            if n > 0:
+                records.append((scale_idx, i, k, s, ori_s[:n], ori_e[:n]))
         acum_layers += stride * (len(layers) + 1)
     return records
 

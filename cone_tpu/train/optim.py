@@ -57,17 +57,20 @@ def make_tan_optimizer(cfg: TrainConfig):
     The reference uses Adam(lr, betas=(0.9, 0.999), weight_decay) with a
     ReduceLROnPlateau(factor=0.8, patience=20) scheduler
     (cone_2dtan/moment_localization/train.py:143-147,
-    lib/core/config.py:75-76); no grad clipping, no step drop. The learning
-    rate lives in `opt_state.hyperparams["learning_rate"]` so the host-side
+    lib/core/config.py:75-76) and a HARDCODED global-norm clip at 10 — the
+    engine's on_forward hook fires between loss.backward() and
+    optimizer.step() (train.py:457-458, lib/core/engine.py:43-56). torch
+    Adam applies weight decay to the (already clipped) gradient before the
+    moment updates (L2, not decoupled AdamW), so the chain order here is
+    clip -> add_decayed_weights -> adam. The learning rate lives in
+    `opt_state.hyperparams["learning_rate"]` so the host-side
     `ReduceLROnPlateau` controller can rescale it between epochs without
     recompiling the train step.
     """
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
     if cfg.wd > 0:
-        # torch Adam's weight_decay adds wd*param to the gradient BEFORE the
-        # moment updates (L2, not decoupled AdamW)
         tx = optax.chain(optax.add_decayed_weights(cfg.wd), tx)
-    return tx
+    return optax.chain(optax.clip_by_global_norm(10.0), tx)
 
 
 class ReduceLROnPlateau:

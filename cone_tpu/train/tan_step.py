@@ -100,6 +100,9 @@ def make_tan_train_step(model: ConeTanModel, tx, tan_cfg: TanConfig,
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
+        metrics["grad_norm"] = jax.tree.reduce(
+            lambda a, b: a + b, jax.tree.map(lambda g: jnp.sum(g * g), grads)
+        ) ** 0.5
         return params, opt_state, metrics
 
     jit_kwargs = dict(static_argnums=(4,), donate_argnums=(0, 1))

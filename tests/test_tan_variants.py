@@ -97,3 +97,26 @@ def test_sparse_prop_conv_matches_torch(rng):
                 ref[:, :, ori_s[:n], ori_e[:n]] = cur.numpy()[:, :, :n]
             acum_layers += stride * (len(scale_layers) + 1)
     np.testing.assert_allclose(out, ref.transpose(0, 2, 3, 1), atol=1e-5)
+
+
+def test_small_geometry_layout_skips_overrun_stages():
+    """At small num_clips with deep scale stacks, later pooling stages run
+    past the map; they must be skipped (like the reference's try/except,
+    sparse.py:29-31), never emitted as empty float index lists — an empty
+    list tripped `.at[]` indexing with a float32 indexer before the fix."""
+    from cone_tpu.models.tan import SparsePropMaxPool, sparse_map_layout
+
+    layout = sparse_map_layout(16, (8, 4, 4))
+    assert layout, "layout must not be empty"
+    for _, _, _, _, s_idx, e_idx in layout:
+        assert len(s_idx) > 0 and len(s_idx) == len(e_idx)
+        assert all(isinstance(v, int) for v in s_idx)
+    # the module builds and runs at this geometry
+    prop = SparsePropMaxPool(num_clips=16, num_scale_layers=(8, 4, 4))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 8)),
+                    jnp.float32)
+    map_h, mask = prop.apply({}, x)
+    assert map_h.shape == (2, 16, 16, 8)
+    got_mask = sparse_map_mask(16, (8, 4, 4))
+    np.testing.assert_array_equal(np.asarray(mask), got_mask)
+    assert got_mask.sum() > 0

@@ -44,6 +44,7 @@ GENERATORS = {
     "gen_golden_egovlp.py": ["egovlp_tower.npz"],
     "gen_golden_postproc.py": ["postproc.npz", "postproc_mad.npz"],
     "gen_golden_tan.py": ["tan_forward.npz"],
+    "gen_golden_tan_train.py": ["tan_train_trajectory.npz"],
     "gen_golden_tan_stride2.py": ["tan_forward_stride2.npz"],
     "gen_golden_eval_ensemble.py": ["eval_ensemble_golden.json"],
 }
