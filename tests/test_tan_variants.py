@@ -120,3 +120,34 @@ def test_small_geometry_layout_skips_overrun_stages():
     got_mask = sparse_map_mask(16, (8, 4, 4))
     np.testing.assert_array_equal(np.asarray(mask), got_mask)
     assert got_mask.sum() > 0
+
+
+@pytest.mark.parametrize("nc,scales", [
+    (64, (16, 8, 8)),   # shipped ego4d/mad geometry
+    (64, (8, 8)),
+    (32, (16, 8, 8)),
+    (16, (8, 4, 4)),
+    (16, (16, 8, 8)),   # scales deeper than the map
+    (8, (4, 4)),
+    (128, (16, 8, 8)),
+])
+def test_sparse_layout_fuzz(nc, scales):
+    """Any (num_clips, scale-stack) combination must yield a structurally
+    valid layout: non-empty int index lists inside the map, a mask that the
+    module reproduces, and a buildable forward."""
+    from cone_tpu.models.tan import SparsePropMaxPool, sparse_map_layout
+
+    layout = sparse_map_layout(nc, scales)
+    assert layout
+    for _, _, k, s, s_idx, e_idx in layout:
+        assert k >= 1 and s >= 1
+        assert 0 < len(s_idx) == len(e_idx)
+        assert all(0 <= v < nc for v in s_idx)
+        assert all(0 <= v < nc for v in e_idx)
+        assert all(e >= s_ for s_, e in zip(s_idx, e_idx))
+    prop = SparsePropMaxPool(num_clips=nc, num_scale_layers=scales)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, nc, 4)),
+                    jnp.float32)
+    map_h, mask = prop.apply({}, x)
+    assert map_h.shape == (1, nc, nc, 4)
+    assert float(np.asarray(mask).sum()) > 0
