@@ -46,7 +46,10 @@ def _load_cfg(args):
         "tan_mad": C.tan_mad_config,
     }
     if args.config:
-        cfg = C.ConeConfig.load(args.config)
+        # user-supplied file: unknown keys are typos, fail loudly (workdir
+        # snapshot loads via train/checkpoint.py stay tolerant for
+        # cross-version round-trips)
+        cfg = C.ConeConfig.load(args.config, strict=True)
     elif args.preset in presets:
         cfg = presets[args.preset]()
     else:

@@ -247,7 +247,14 @@ class ConeConfig:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
 
     @classmethod
-    def from_json(cls, s: str) -> "ConeConfig":
+    def from_json(cls, s: str, strict: bool = False) -> "ConeConfig":
+        """Parse a config JSON.
+
+        strict=False (default) drops unknown keys with a warning — required
+        so workdir opt.json snapshots round-trip across cone_tpu versions in
+        both directions. strict=True raises on unknown keys instead; the CLI
+        uses it for user-supplied --config files so a typo ('n_epochs' for
+        'n_epoch') fails loudly rather than silently using the default."""
         raw = json.loads(s)
         eval_raw = raw.get("eval", {})
         if "ctx_buckets" in eval_raw:
@@ -266,6 +273,9 @@ class ConeConfig:
             known = {f.name for f in dataclasses.fields(section_cls)}
             unknown = sorted(set(section_raw) - known)
             if unknown:
+                if strict:
+                    raise ValueError(
+                        f"config section '{name}': unknown keys {unknown}")
                 import warnings
 
                 warnings.warn(
@@ -288,9 +298,9 @@ class ConeConfig:
             f.write(self.to_json())
 
     @classmethod
-    def load(cls, path: str) -> "ConeConfig":
+    def load(cls, path: str, strict: bool = False) -> "ConeConfig":
         with open(path) as f:
-            return cls.from_json(f.read())
+            return cls.from_json(f.read(), strict=strict)
 
     def replace(self, **sections) -> "ConeConfig":
         return dataclasses.replace(self, **sections)

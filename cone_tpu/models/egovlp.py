@@ -261,7 +261,10 @@ def egovlp_state_dict_to_params(sd: dict, depth: int,
         return {"qkv": _dense(f"{name}.qkv"), "proj": _dense(f"{name}.proj")}
 
     if any(k.startswith("module.") for k in sd):  # DataParallel checkpoints
-        sd = {k.replace("module.", ""): v for k, v in sd.items()}
+        # strip the LEADING prefix only — a path legitimately containing
+        # '.module.' elsewhere must not be mangled
+        sd = {(k[len("module."):] if k.startswith("module.") else k): v
+              for k, v in sd.items()}
     vm = "video_model"
     if num_patches is not None and sd[f"{vm}.pos_embed"].shape[1] != num_patches:
         raise NotImplementedError(

@@ -36,10 +36,23 @@ def sparse_map_layout(num_clips: int, num_scale_layers: Sequence[int]):
     """Static bookkeeping of the multi-scale pooling cascade.
 
     Returns a list of per-(scale, layer) records:
-        (scale_idx, layer_idx, kernel, stride, ori_s_idxs, ori_e_idxs)
+        (scale_idx, layer_idx, kernel, stride, pool_ok, ori_s_idxs, ori_e_idxs)
     where ori_{s,e}_idxs are the (start, end) cells of the full
     (num_clips x num_clips) map this pooling stage fills
     (sparse.py:43-66 + recover_to_original_map :105-125).
+
+    Degenerate geometries (small num_clips / deep scale stacks) mirror the
+    reference's try/except (sparse.py:28-31) exactly: only the pool op is
+    guarded there, so a stage whose pool succeeds still advances x even when
+    its scatter range is empty (pool_ok=True, empty index lists), and a stage
+    whose pool would fail (input shorter than the kernel) leaves x unchanged
+    (pool_ok=False) but still scatters the stale x into any in-map cells.
+    Stages where both the pool fails and the scatter is empty are dropped.
+    (The reference's UNguarded scatter would actually crash on a
+    length-mismatched stage — torch rejects broadcasting non-empty x into an
+    empty indexing result — so at such geometries this layout is defined
+    where the reference is not; the guarded pool op's semantics are what we
+    pin.)
     """
     records = []
     length = num_clips
@@ -49,27 +62,27 @@ def sparse_map_layout(num_clips: int, num_scale_layers: Sequence[int]):
         layers = [(1, 1) if scale_idx == 0 else (3, 2)] + [(2, 1)] * (num_layer - 1)
         scale_len = length // layers[0][1]
         for i, (k, s) in enumerate(layers):
-            length = (length - k) // s + 1
+            pool_ok = length >= k  # torch raises on empty pool output
+            if pool_ok:
+                length = (length - k) // s + 1
             stride = stride * s
             n = scale_len - i
             ori_s = list(range(0, num_clips - acum_layers - i * stride, stride))
             ori_e = [s_idx + acum_layers + i * stride for s_idx in ori_s]
-            # the pooled sequence may be shorter than the scatter range at
-            # the edge; the reference guards with try/except (sparse.py:29-31).
-            # At small num_clips/deep scale stacks a stage can run past the
-            # map entirely (n <= 0) — skip it like the reference's except
-            # does (an empty index list would also trip jnp.asarray([]),
-            # which defaults to float and breaks .at[] indexing).
-            n = min(n, length, len(ori_s))
-            if n > 0:
-                records.append((scale_idx, i, k, s, ori_s[:n], ori_e[:n]))
+            # the (possibly stale) sequence may be shorter than the scatter
+            # range at the edge; trim to what exists
+            n = max(0, min(n, length, len(ori_s)))
+            if n > 0 or pool_ok:
+                records.append(
+                    (scale_idx, i, k, s, pool_ok, ori_s[:n], ori_e[:n]))
         acum_layers += stride * (len(layers) + 1)
     return records
 
 
 def sparse_map_mask(num_clips: int, num_scale_layers: Sequence[int]) -> np.ndarray:
     mask = np.zeros((num_clips, num_clips), np.float32)
-    for _, _, _, _, s_idx, e_idx in sparse_map_layout(num_clips, num_scale_layers):
+    for rec in sparse_map_layout(num_clips, num_scale_layers):
+        s_idx, e_idx = rec[5], rec[6]
         mask[s_idx, e_idx] = 1
     return mask
 
@@ -96,12 +109,14 @@ class SparsePropMaxPool(nn.Module):
         b, l, c = x.shape
         layout = sparse_map_layout(self.num_clips, self.num_scale_layers)
         map_h = jnp.zeros((b, self.num_clips, self.num_clips, c), x.dtype)
-        for _, _, k, s, s_idx, e_idx in layout:
-            x = _max_pool1d(x, k, s)
+        for _, _, k, s, pool_ok, s_idx, e_idx in layout:
+            if pool_ok:
+                x = _max_pool1d(x, k, s)
             n = len(s_idx)
-            map_h = map_h.at[:, jnp.asarray(s_idx), jnp.asarray(e_idx), :].set(
-                x[:, :n, :]
-            )
+            if n > 0:
+                map_h = map_h.at[:, jnp.asarray(s_idx), jnp.asarray(e_idx), :].set(
+                    x[:, :n, :]
+                )
         mask = jnp.asarray(sparse_map_mask(self.num_clips, self.num_scale_layers))
         return map_h, mask
 
@@ -177,15 +192,17 @@ class SparsePropConv(nn.Module):
         layout = sparse_map_layout(self.num_clips, self.num_scale_layers)
         map_h = jnp.zeros((b, self.num_clips, self.num_clips, self.hidden_size),
                           x.dtype)
-        for scale_idx, layer_idx, k, s, s_idx, e_idx in layout:
-            x = nn.Conv(
-                self.hidden_size, (k,), strides=(s,), padding="VALID",
-                name=f"conv_{scale_idx}_{layer_idx}",
-            )(x)
+        for scale_idx, layer_idx, k, s, pool_ok, s_idx, e_idx in layout:
+            if pool_ok:  # reference try/except: a failing conv leaves x as-is
+                x = nn.Conv(
+                    self.hidden_size, (k,), strides=(s,), padding="VALID",
+                    name=f"conv_{scale_idx}_{layer_idx}",
+                )(x)
             n = min(len(s_idx), x.shape[1])
-            map_h = map_h.at[:, jnp.asarray(s_idx[:n]), jnp.asarray(e_idx[:n]), :].set(
-                x[:, :n, :]
-            )
+            if n > 0:
+                map_h = map_h.at[:, jnp.asarray(s_idx[:n]), jnp.asarray(e_idx[:n]), :].set(
+                    x[:, :n, :]
+                )
         mask = jnp.asarray(sparse_map_mask(self.num_clips, self.num_scale_layers))
         return map_h, mask
 

@@ -54,8 +54,16 @@ def dp_submesh(mesh: Mesh, axis: str = "dp") -> Mesh:
 
 
 # Megatron-style TP placement for the DETR transformer (models/transformer.py):
-# column-parallel producers paired with row-parallel consumers so each
-# attention/FFN block needs exactly one all-reduce on its output. Matched by
+# column-parallel producers paired with row-parallel consumers. Note the
+# packed (D, 3D) QKV kernel is split by contiguous columns, which is NOT
+# head-aligned (Megatron proper shards per head); GSPMD keeps it numerically
+# correct (test_tp pins the full DP trajectory) but inserts resharding around
+# the (B, L, nheads, d_head) reshape rather than the textbook one-all-reduce-
+# per-block schedule. Measured on the compiled tp=2 train step (8-dev CPU
+# mesh, tools/count_collectives in docs/RESULTS.md round 5): +20 all-reduces
+# and +114 collective-permutes vs pure DP. Acceptable here — TP on a 10 M-param
+# model is a capability demo, not a capacity need; a clean Megatron schedule
+# would require unpacking QKV or shard_map-ing the block. Matched by
 # param-path suffix; anything unmatched (LayerNorms, heads, input projections,
 # embeddings — all tiny) stays replicated.
 _TP_RULES = (

@@ -76,6 +76,29 @@ def test_unknown_keys_warn_but_load():
     assert any("another_future_knob" in m for m in msgs)
 
 
+def test_strict_load_rejects_unknown_keys(tmp_path):
+    """strict=True (the CLI's --config path) must fail loudly on a typo'd
+    key instead of silently using the default."""
+    import json
+
+    import pytest
+
+    raw = json.loads(ConeConfig().to_json())
+    raw["train"]["n_epochs"] = 5  # typo for n_epoch
+    with pytest.raises(ValueError, match="n_epochs"):
+        ConeConfig.from_json(json.dumps(raw), strict=True)
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(raw))
+    with pytest.raises(ValueError, match="n_epochs"):
+        ConeConfig.load(str(p), strict=True)
+    # tolerant default still loads it (workdir round-trip path)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ConeConfig.load(str(p))
+
+
 def test_mad_presets_geometry():
     mad = mad_config()
     assert mad.data.topk_window == 30 and mad.data.max_v_l == 125

@@ -101,15 +101,18 @@ def test_sparse_prop_conv_matches_torch(rng):
 
 def test_small_geometry_layout_skips_overrun_stages():
     """At small num_clips with deep scale stacks, later pooling stages run
-    past the map; they must be skipped (like the reference's try/except,
-    sparse.py:29-31), never emitted as empty float index lists — an empty
-    list tripped `.at[]` indexing with a float32 indexer before the fix."""
+    past the map. Mirroring the reference's try/except (sparse.py:28-31),
+    which guards ONLY the pool op: a stage whose pool succeeds but whose
+    scatter range is empty still advances x (pool_ok=True, empty lists); a
+    stage where both fail is dropped entirely."""
     from cone_tpu.models.tan import SparsePropMaxPool, sparse_map_layout
 
     layout = sparse_map_layout(16, (8, 4, 4))
     assert layout, "layout must not be empty"
-    for _, _, _, _, s_idx, e_idx in layout:
-        assert len(s_idx) > 0 and len(s_idx) == len(e_idx)
+    for _, _, _, _, pool_ok, s_idx, e_idx in layout:
+        assert len(s_idx) == len(e_idx)
+        # empty scatter only allowed on pool-advancing stages
+        assert pool_ok or len(s_idx) > 0
         assert all(isinstance(v, int) for v in s_idx)
     # the module builds and runs at this geometry
     prop = SparsePropMaxPool(num_clips=16, num_scale_layers=(8, 4, 4))
@@ -139,9 +142,10 @@ def test_sparse_layout_fuzz(nc, scales):
 
     layout = sparse_map_layout(nc, scales)
     assert layout
-    for _, _, k, s, s_idx, e_idx in layout:
+    for _, _, k, s, pool_ok, s_idx, e_idx in layout:
         assert k >= 1 and s >= 1
-        assert 0 < len(s_idx) == len(e_idx)
+        assert len(s_idx) == len(e_idx)
+        assert pool_ok or len(s_idx) > 0
         assert all(0 <= v < nc for v in s_idx)
         assert all(0 <= v < nc for v in e_idx)
         assert all(e >= s_ for s_, e in zip(s_idx, e_idx))
