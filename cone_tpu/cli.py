@@ -100,6 +100,14 @@ def cmd_train(args):
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = _load_cfg(args)
+    if args.dump_config:
+        # resolve preset/--config/--set and write the config json, no
+        # training — lets scripts materialize a workdir-ready config.json
+        # (e.g. scripts/parity_ego4d.sh stage 3) without a train run
+        os.makedirs(os.path.dirname(args.dump_config) or ".", exist_ok=True)
+        cfg.save(args.dump_config)
+        print(f"wrote resolved config to {args.dump_config}")
+        return
     if args.debug:
         cfg = _apply_overrides(cfg, ["train.debug=true"])
     if args.train_path:
@@ -295,6 +303,9 @@ def cmd_eval(args):
         results, miou = evaluate_ego4d_nlq(preds, gt, thresholds, topk)
         table = display_ego4d_results(results, miou, thresholds, topk,
                                       title=args.title or "Official Ego4D")
+        computed = {(k, t): 100 * float(results[ti][ki])
+                    for ki, k in enumerate(topk)
+                    for ti, t in enumerate(thresholds)}
     else:
         # flat jsonl GT (query_id + timestamps) + flat submission jsonl
         gt = load_jsonl(args.gt)
@@ -304,10 +315,42 @@ def cmd_eval(args):
         miou = mean_first_iou(sub, gt) if args.dset == "ego4d" else None
         table = display_recall_table(recall, thresholds, topk,
                                      title=args.title, mIoU=miou)
+        computed = {(k, t): 100 * float(recall[ki][ti])
+                    for ki, k in enumerate(topk)
+                    for ti, t in enumerate(thresholds)}
     print(table)
     if args.out:
         with open(args.out, "a") as f:
             f.write(table + "\n")
+    if args.expect:
+        # parity diff against a published row (docs/REAL_DATA.md): each
+        # entry is R<k>@<t>=<percent> or mIoU=<percent>
+        fails = []
+        for item in args.expect.split(","):
+            name, want = item.split("=")
+            name = name.strip()
+            if name.lower() == "miou":
+                assert miou is not None, "mIoU not computed for this dset"
+                got = 100 * float(miou)
+            else:
+                assert name.startswith("R") and "@" in name, (
+                    f"bad --expect entry {name!r} (want R<k>@<t> or mIoU)")
+                kk, tt = name[1:].split("@")
+                key = (int(kk), float(tt))
+                assert key in computed, (
+                    f"--expect {name}: R@{kk} IoU@{tt} not in the computed "
+                    f"table (topK={topk}, thresholds={thresholds})")
+                got = computed[key]
+            delta = got - float(want)
+            line = f"{name}: got {got:.2f}, expected {float(want):.2f} " \
+                   f"(delta {delta:+.2f}, tol {args.expect_tol})"
+            print(("  ok   " if abs(delta) <= args.expect_tol else "  FAIL ")
+                  + line)
+            if abs(delta) > args.expect_tol:
+                fails.append(name)
+        if fails:
+            raise SystemExit(f"parity check FAILED: {', '.join(fails)}")
+        print("parity check PASSED")
 
 
 def cmd_ensemble(args):
@@ -551,6 +594,9 @@ def main(argv=None):
                         " auto-detected)")
     t.add_argument("--num_processes", type=int)
     t.add_argument("--process_id", type=int)
+    t.add_argument("--dump_config", metavar="PATH",
+                   help="resolve preset/--config/--set, write the config"
+                        " json to PATH and exit (no training)")
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="evaluate a checkpoint")
@@ -650,6 +696,13 @@ def main(argv=None):
                    help="window length in clips (window-recall mode)")
     v.add_argument("--title")
     v.add_argument("--out", help="append the table to this file")
+    v.add_argument("--expect",
+                   help="parity diff: comma list of R<k>@<t>=<percent> /"
+                        " mIoU=<percent> (e.g. the reference README row"
+                        " 'R1@0.3=14.15,R5@0.3=30.33'); exits nonzero if"
+                        " any metric is off by more than --expect_tol")
+    v.add_argument("--expect_tol", type=float, default=0.5,
+                   help="absolute tolerance in recall points for --expect")
     v.set_defaults(fn=cmd_eval)
 
     n = sub.add_parser("ensemble", help="fuse N prediction jsonls"
