@@ -159,10 +159,16 @@ def cmd_infer(args):
 
     cfg = CheckpointManager.load_config(args.workdir)
     cfg = _apply_overrides(cfg, args.set)
-    model, template = build_family(cfg, seed=0)
-    ckpt = CheckpointManager(args.workdir)
-    params, _, epoch, _ = ckpt.restore(args.ckpt, template)
-    print(f"restored '{args.ckpt}' (epoch {epoch})")
+    if getattr(args, "untrained", False):
+        # the reference's --eval_untrained debug flag (cone/config.py:62):
+        # score the fresh-init model, no checkpoint needed
+        model, params = build_family(cfg, seed=cfg.train.seed)
+        print("evaluating UNTRAINED (fresh-init) weights")
+    else:
+        model, template = build_family(cfg, seed=0)
+        ckpt = CheckpointManager(args.workdir)
+        params, _, epoch, _ = ckpt.restore(args.ckpt, template)
+        print(f"restored '{args.ckpt}' (epoch {epoch})")
 
     eval_ds = _open_dataset(cfg, args.eval_path or cfg.data.eval_path)
     res = evaluate(model, params, eval_ds, cfg,
@@ -619,6 +625,9 @@ def main(argv=None):
     i.add_argument("--save_all", action="store_true",
                    help="also write the proposal/matching modality"
                         " prediction files (reference --save_all)")
+    i.add_argument("--untrained", action="store_true",
+                   help="evaluate fresh-init weights, no checkpoint"
+                        " (reference --eval_untrained, cone/config.py:62)")
     i.set_defaults(fn=cmd_infer)
 
     s = sub.add_parser("serve", help="HTTP moment-retrieval server over a"

@@ -293,6 +293,56 @@ def test_cli_train_infer_roundtrip(tmp_path):
         assert os.path.exists(os.path.join(workdir, f)), f
 
 
+def test_cli_infer_untrained(tmp_path, capsys):
+    """`infer --untrained`: score fresh-init weights with no checkpoint in
+    the workdir (the reference's --eval_untrained debug flag,
+    cone/config.py:62). In-process on the CPU backend."""
+    from cone_tpu.cli import main
+    from cone_tpu.config import (ConeConfig, DataConfig, EvalConfig,
+                                 ModelConfig, TrainConfig)
+    from cone_tpu.data import make_synthetic_dataset, write_packed_store
+    from cone_tpu.utils.io import save_jsonl
+
+    dim = 32
+    cfg = ConeConfig(
+        model=ModelConfig(hidden_dim=64, nheads=4, dim_feedforward=128,
+                          t_feat_dim=dim, v_motion_feat_dim=dim,
+                          v_appear_feat_dim=dim, max_q_l=8, max_v_l=32),
+        data=DataConfig(dset_name="synthetic", max_v_l=32, max_q_l=8,
+                        clip_length=1.0, topk_window=4, max_ctx_l=256),
+        train=TrainConfig(bsz=4),
+        eval=EvalConfig(query_chunk=4),
+    )
+    ds = make_synthetic_dataset(cfg.data, n_videos=1, queries_per_video=4,
+                                ctx_l_range=(90, 140), dim=dim, seed=0)
+    feat = tmp_path / "features"
+    text = feat / "text"
+    os.makedirs(text)
+    write_packed_store(str(feat / "video.cfs"),
+                       {v: ds.video_features(v)[0] for v in ds.video_ids})
+    write_packed_store(str(text / "tokens.cfs"),
+                       {e.query_id: ds.text.get_tokens(e.query_id)
+                        for e in ds.examples})
+    write_packed_store(str(text / "cls.cfs"),
+                       {e.query_id: ds.text.get_cls(e.query_id)[None]
+                        for e in ds.examples})
+    jsonl = tmp_path / "eval.jsonl"
+    save_jsonl([e.__dict__ for e in ds.examples], str(jsonl))
+    workdir = tmp_path / "run"
+    os.makedirs(workdir)
+    cfg.replace(data=cfg.data.__class__(**{
+        **cfg.data.__dict__,
+        "appearance_feat_dir": str(feat / "video.cfs"),
+        "t_feat_dir": str(text),
+    })).save(str(workdir / "config.json"))
+
+    main(["infer", "--workdir", str(workdir), "--untrained",
+          "--eval_path", str(jsonl)])
+    outp = capsys.readouterr().out
+    assert "UNTRAINED" in outp and "Rank@1" in outp
+    assert os.path.exists(os.path.join(workdir, "inference_best_preds.jsonl"))
+
+
 def test_cli_demo_surface(tmp_path, capsys, monkeypatch):
     """`cone_tpu demo`: the reference's run_on_video/run.py entry point.
     Heavy extraction is stubbed (the real predictor path is covered by
