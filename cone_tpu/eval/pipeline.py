@@ -46,6 +46,9 @@ class InferencePipeline:
     # IoU convention for NMS: CONE uses hull union (utils/temporal_nms.py);
     # the 2D-TAN pipeline overrides with standard union (lib/core/eval.py:34)
     nms_hull: bool = True
+    # cache the per-group stacked video tensors across runs (see
+    # _fused_groups); off switch exists for A/B measurement
+    stack_cache: bool = True
 
     def __init__(self, model: ConeModel, params, dataset: GroundingDataset,
                  cfg: ConeConfig, mesh=None):
@@ -379,6 +382,8 @@ class InferencePipeline:
         self.ds._vid_cache.clear()
         if hasattr(self, "_dev_cache"):
             self._dev_cache.clear()
+        if hasattr(self, "_stack_cache"):
+            self._stack_cache.clear()
 
     def _chunk_queries(self, exs):
         """Pad a query chunk to query_chunk rows of fixed-shape arrays."""
@@ -498,15 +503,33 @@ class InferencePipeline:
             for g in range(0, len(work), vb):
                 groups.append(work[g : g + vb])
 
+        # stacked-group cache: with a fixed resident corpus the (video x
+        # chunk) groups recur every run, and the per-group jnp.stack calls
+        # re-copy the full feature streams on device each time (MAD: 2 x
+        # 75 MB per group) plus one dispatch per array. Cache the stacked
+        # form keyed by the group's clip ids — steady-state serving then
+        # stages only the (small) query arrays. Bounded LRU so huge
+        # corpora don't double their HBM footprint.
+        if not hasattr(self, "_stack_cache"):
+            self._stack_cache = {}
         for group in groups:
             pad = vb - len(group)
             stacked = group + [group[0]] * pad
-            vids = [self._device_video(c) for _, _, c in stacked]
-            appear = jnp.stack([v[0] for v in vids])
-            a_scale = jnp.stack([v[1] for v in vids])
-            motion = jnp.stack([v[2] for v in vids])
-            m_scale = jnp.stack([v[3] for v in vids])
-            ctx = jnp.asarray([v[4] for v in vids])
+            key = tuple(c for _, _, c in stacked)
+            hit = self._stack_cache.pop(key, None) if self.stack_cache else None
+            if hit is None:
+                vids = [self._device_video(c) for _, _, c in stacked]
+                appear = jnp.stack([v[0] for v in vids])
+                a_scale = jnp.stack([v[1] for v in vids])
+                motion = jnp.stack([v[2] for v in vids])
+                m_scale = jnp.stack([v[3] for v in vids])
+                ctx = jnp.asarray([v[4] for v in vids])
+                hit = (appear, a_scale, motion, m_scale, ctx)
+            if self.stack_cache:
+                self._stack_cache[key] = hit  # re-insert = LRU touch
+                while len(self._stack_cache) > 64:
+                    self._stack_cache.pop(next(iter(self._stack_cache)))
+            appear, a_scale, motion, m_scale, ctx = hit
             qs = [self._chunk_queries(chunk if i < len(group) else [])
                   for i, (chunk, _, _) in enumerate(stacked)]
             toks = jnp.asarray(np.stack([q[0] for q in qs]))
