@@ -94,7 +94,7 @@ def bench_tan_small():
     from cone_tpu.data import make_synthetic_dataset
     from cone_tpu.eval.pipeline import make_pipeline
     from cone_tpu.train.loop import build_family
-    from cone_tpu.utils.perf import device_time_fused
+    from cone_tpu.utils.perf import device_time_fused, tan_perf_report
 
     dim = 256
     cfg = tan_ego4d_config()
@@ -120,18 +120,24 @@ def bench_tan_small():
         pipe.run(host_postproc=False, fused=True)
         wall = min(wall, time.time() - t0)
     dev_s_per_q, per_pass = device_time_fused(pipe, n_queries, repeats=3)
+    rep = tan_perf_report(cfg, dev_s_per_q)
     log(f"tan: device {per_pass * 1e3:.1f} ms/pass -> {1 / dev_s_per_q:.1f}"
-        f" q/s | wall {n_queries / wall:.1f} q/s")
+        f" q/s | wall {n_queries / wall:.1f} q/s"
+        f" | {rep['tan_flops_per_query'] / 1e12:.2f} TFLOP/q"
+        f" (map convs {rep['tan_map_conv_frac'] * 100:.1f}%)"
+        f" | MFU {rep['tan_mfu'] * 100:.1f}%")
     del pipe
     return {
         "tan_infer_qps": round(n_queries / wall, 2),
         "tan_device_qps": round(1 / dev_s_per_q, 2),
+        "tan_mfu": rep["tan_mfu"],
+        "tan_flops_per_query": rep["tan_flops_per_query"],
     }
 
 
-def bench_train_small():
-    """bf16 training step at the full Ego4D geometry (tools/bench_train.py
-    recipe, fewer steps). Guard metrics: train_samples_per_sec, train_mfu."""
+def _bench_train_one(bsz: int, seq_pad: int, tag: str):
+    """One bf16 training-step measurement at the full Ego4D geometry
+    (tools/bench_train.py recipe, fewer steps)."""
     import time
 
     import jax
@@ -148,31 +154,32 @@ def bench_train_small():
     cfg = ConeConfig(
         model=ModelConfig(t_feat_dim=dim, v_motion_feat_dim=dim,
                           v_appear_feat_dim=dim, max_v_l=90, max_q_l=20,
-                          compute_dtype="bfloat16"),
+                          compute_dtype="bfloat16", seq_pad_multiple=seq_pad),
         data=DataConfig(max_v_l=90, max_q_l=20, clip_length=0.535),
-        train=TrainConfig(bsz=32),
+        train=TrainConfig(bsz=bsz),
     )
-    ds = make_synthetic_dataset(cfg.data, n_videos=4, queries_per_video=16,
+    ds = make_synthetic_dataset(cfg.data, n_videos=4,
+                                queries_per_video=max(16, bsz // 2),
                                 ctx_l_range=(900, 1200), dim=dim, seed=0)
     model, params = build_model_and_params(cfg.model, seed=0)
     loader = TrainLoader(ds, bsz=cfg.train.bsz, seed=0)
-    tx = make_optimizer(params, cfg.train, loader.steps_per_epoch())
+    tx = make_optimizer(params, cfg.train, max(1, loader.steps_per_epoch()))
     opt_state = tx.init(params)
     step = make_train_step(model, tx, cfg)
     rng = jax.random.PRNGKey(0)
-    batches = list(loader.epoch(0))
+    batches = list(loader.epoch(0))[:4]
 
     t0 = time.time()
     params, opt_state, m = step(params, opt_state, batches[0], rng, True)
     tunnel_sync(m["loss_overall"])
-    log(f"train: compile {time.time() - t0:.1f}s")
+    log(f"train[{tag}]: compile {time.time() - t0:.1f}s")
 
     dev_batches = jax.device_put(batches)
     tunnel_sync(dev_batches)
     lat = sync_latency()
     t0 = time.time()
     n = 0
-    for _ in range(5):
+    for _ in range(max(5, 20 // len(dev_batches))):
         for b in dev_batches:
             rng, sub = jax.random.split(rng)
             params, opt_state, m = step(params, opt_state, b, sub, True)
@@ -180,13 +187,30 @@ def bench_train_small():
     tunnel_sync(m["loss_overall"])
     dt = (time.time() - t0 - lat) / n
     rep = train_perf_report(cfg, cfg.train.bsz / dt, adapter_on=True)
-    log(f"train: {dt * 1e3:.2f} ms/step -> {cfg.train.bsz / dt:.0f} samples/s"
+    log(f"train[{tag}]: bsz {bsz}, {dt * 1e3:.2f} ms/step ->"
+        f" {cfg.train.bsz / dt:.0f} samples/s"
         f" | MFU {rep['train_mfu'] * 100:.1f}% (bf16 peak,"
         f" {rep['flops_per_sample'] / 1e9:.2f} GFLOP/sample)")
+    return rep
+
+
+def bench_train_small():
+    """bf16 training step at the full Ego4D geometry, both recipes:
+
+      * reference recipe (bsz 32, the reference's train_ego4d.sh batch
+        size) -> train_samples_per_sec / train_mfu;
+      * throughput-optimal scratch recipe (bsz 128 + seq_pad 16, the
+        tools/bench_train_bsz.py sweep optimum now encoded in
+        ego4d_scratch_config) -> train_samples_per_sec_opt / train_mfu_opt.
+    """
+    ref = _bench_train_one(32, 1, "ref-recipe")
+    opt = _bench_train_one(128, 16, "opt-recipe")
     return {
-        "train_samples_per_sec": rep["train_samples_per_sec"],
-        "train_mfu": rep["train_mfu"],
-        "train_flops_per_sample": rep["flops_per_sample"],
+        "train_samples_per_sec": ref["train_samples_per_sec"],
+        "train_mfu": ref["train_mfu"],
+        "train_flops_per_sample": ref["flops_per_sample"],
+        "train_samples_per_sec_opt": opt["train_samples_per_sec"],
+        "train_mfu_opt": opt["train_mfu"],
     }
 
 

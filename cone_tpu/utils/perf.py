@@ -100,6 +100,95 @@ def cone_flops_per_query(cfg, ctx_pad: int) -> FlopsBreakdown:
     )
 
 
+def tan_flops_per_query(cfg) -> dict:
+    """Analytic matmul FLOPs (2*m*n*k) per query through the fused
+    CONE-TAN pipeline (eval/tan_pipeline.py), by part.
+
+    The 2D-TAN head (cone_2dtan/lib/models/map_modules/map_conv.py:6) is
+    ~2-3 orders of magnitude more FLOPs per query than the Moment-DETR
+    head: every one of the topk windows pushes the fused (S, E, C) map
+    through `len(map_hidden_sizes)` KxK conv layers. With the canonical
+    K9L4 geometry and paddings (16, 0, 0, 0) the map grows 64->88 then
+    shrinks back (88/80/72/64), so the conv stack alone is ~249 GFLOP per
+    window. Everything else (frame 1x1 conv, LSTM text encoder, fusion
+    1x1 conv, pred head, matching adapter) is reported too but is <1%.
+    """
+    m, t = cfg.model, cfg.tan
+    h = t.hidden_size
+    nc = t.num_clips
+    lv = nc * t.frame_stride            # raw window clips (= data.max_v_l)
+    lq = cfg.data.max_q_l
+    dv, dt, da = t.v_feat_dim, t.t_feat_dim, m.v_appear_feat_dim
+    topk = cfg.data.topk_window
+    top_p = t.proposal_top_k
+
+    # per-window parts -----------------------------------------------------
+    frame = 2 * lv * dv * h                             # 1x1 conv (Dense)
+    # sparse max-pool cascade: no matmuls (reduce_window); sparse_conv
+    # variant: Conv1d stages over the shrinking sequence
+    prop = 0.0
+    if t.prop_module == "sparse_conv":
+        from cone_tpu.models.tan import sparse_map_layout
+
+        length = nc
+        for _, _, k, s, pool_ok, _, _ in sparse_map_layout(
+                nc, tuple(t.num_scale_layers)):
+            if pool_ok:
+                out_l = (length - k) // s + 1
+                prop += 2 * out_l * k * h * h
+                length = out_l
+    # LSTM: 4 gates, input + recurrent GEMMs per step per layer. The fused
+    # fn repeats the query per window, so this runs per (query, window).
+    lstm0 = 2 * lq * (dt * 4 * h + h * 4 * h)
+    lstm_rest = (t.lstm_layers - 1) * 2 * lq * (h * 4 * h + h * 4 * h)
+    tex = 2 * t.txt_hidden_size * h
+    fusion = lstm0 + lstm_rest + tex + 2 * nc * nc * h * h  # + vis 1x1 conv
+
+    # mask-renormalized KxK conv stack; the ones-kernel count conv is
+    # 1-channel (2*S^2*k^2 ~ 1e6) — folded into `map_convs`
+    map_convs = 0.0
+    s_dim = nc
+    c_in = h
+    for c_out, k, p in zip(t.map_hidden_sizes, t.map_kernel_sizes,
+                           t.map_paddings):
+        s_dim = s_dim + 2 * p - k + 1
+        map_convs += 2 * s_dim * s_dim * k * k * c_in * c_out
+        map_convs += 2 * s_dim * s_dim * k * k          # count conv
+        c_in = c_out
+    pred = 2 * s_dim * s_dim * c_in                      # 1-channel head
+    # matching branch: segment-mean pool + residual adapter MLP + cosine,
+    # per kept proposal
+    matching = top_p * (lv * da + 2 * (da * h + h * da) + 2 * da)
+
+    per_window = frame + prop + fusion + map_convs + pred + matching
+    parts = {
+        "map_convs": topk * map_convs,
+        "fusion": topk * fusion,
+        "frame": topk * (frame + prop),
+        "pred": topk * pred,
+        "matching": topk * matching,
+    }
+    parts["per_query"] = float(topk * per_window)
+    return parts
+
+
+def tan_perf_report(cfg, device_s_per_query: float, chip: str = "v5e") -> dict:
+    """MFU of the fused TAN serving pass. fp32 params, but this build's
+    default-low matmul precision executes convs as bf16 MXU passes
+    (tools/bench_int8.py), so bf16 peak is the honest denominator."""
+    peaks = CHIP_PEAKS[chip]
+    parts = tan_flops_per_query(cfg)
+    device_qps = 1.0 / device_s_per_query
+    return {
+        "tan_flops_per_query": parts["per_query"],
+        "tan_device_qps": round(device_qps, 2),
+        "tan_mfu": round(parts["per_query"] * device_qps
+                         / peaks["flops_bf16"], 4),
+        "tan_map_conv_frac": round(parts["map_convs"] / parts["per_query"], 4),
+        "chip": chip,
+    }
+
+
 def cone_train_flops_per_sample(cfg, adapter_on: bool = True) -> float:
     """Analytic matmul FLOPs of ONE training-step sample (fwd + bwd + opt).
 

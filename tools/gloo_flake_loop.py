@@ -1,0 +1,64 @@
+"""Measure the Gloo 2-process cluster's flake base rate (idle machine).
+
+CLAUDE.md documents the multiprocess gate as "~10-25% flaky when anything
+else runs concurrently" — folklore from before the control-plane barriers
++ prewarm + run-first ordering landed. This loop runs the full
+tests/test_multiprocess.py gate N times back-to-back on an (ideally idle)
+machine and records, per run: pass/fail, wall seconds, and how many
+rendezvous retries the fixture consumed (parsed from the "[dist] cluster
+converged after N retries" line the fixture prints). The summary is the
+measured post-fix base rate to cite in docs/RESULTS.md and CLAUDE.md.
+
+    python tools/gloo_flake_loop.py [N]        # default 10
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    root = os.path.join(os.path.dirname(__file__), "..")
+    runs = []
+    for i in range(n):
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/test_multiprocess.py",
+             "-q", "-s"],
+            capture_output=True, text=True, cwd=root, timeout=900,
+        )
+        wall = time.time() - t0
+        m = re.search(r"converged after (\d+) retries", r.stdout)
+        retries = int(m.group(1)) if m else None
+        ok = r.returncode == 0
+        runs.append({"run": i + 1, "ok": ok, "wall_s": round(wall, 1),
+                     "retries": retries})
+        print(f"run {i + 1}/{n}: {'PASS' if ok else 'FAIL'} "
+              f"{wall:.0f}s retries={retries}", flush=True)
+        if not ok:
+            tail = (r.stdout + r.stderr)[-2000:]
+            print(tail, flush=True)
+            runs[-1]["tail"] = tail
+
+    fails = sum(1 for r in runs if not r["ok"])
+    tot_retries = sum(r["retries"] or 0 for r in runs if r["retries"] is not None)
+    summary = {
+        "runs": n,
+        "failures": fails,
+        "fail_rate": fails / n,
+        "total_retries": tot_retries,
+        "runs_detail": runs,
+    }
+    out = os.path.join(root, "docs", "gloo_flake_runs.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\n{n} runs: {fails} failures ({100 * fails / n:.0f}%), "
+          f"{tot_retries} total rendezvous retries -> {out}")
+
+
+if __name__ == "__main__":
+    main()
