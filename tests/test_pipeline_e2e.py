@@ -105,6 +105,25 @@ def test_fused_path_matches_staged(pipeline, results):
         np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_fused_stack_cache_reuses_and_matches(pipeline):
+    """Steady-state serving: the second fused run must hit the stacked-group
+    LRU (same device buffers, no re-stacking) and return identical results;
+    disabling the cache must also return identical results."""
+    subs1, rank1 = pipeline.run(host_postproc=False, fused=True)
+    cache = dict(pipeline._stack_cache)
+    assert cache, "fused run should have populated the stack cache"
+    subs2, rank2 = pipeline.run(host_postproc=False, fused=True)
+    for k, v in pipeline._stack_cache.items():
+        assert v[0] is cache[k][0], "stacked tensors must be reused"
+    assert rank2 == rank1 and subs2 == subs1
+    pipeline.stack_cache = False
+    try:
+        subs3, rank3 = pipeline.run(host_postproc=False, fused=True)
+    finally:
+        pipeline.stack_cache = True
+    assert rank3 == rank1 and subs3 == subs1
+
+
 def test_device_postproc_agrees_with_host(pipeline, results):
     subs, ranklists = results
     rows = pipeline.fine(ranklists)
