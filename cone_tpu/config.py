@@ -335,7 +335,14 @@ def ego4d_scratch_config() -> ConeConfig:
     MXU dtype — measured 7.3x faster steps on v5e (42.6 -> 5.8 ms,
     tools/bench_train.py) with closely tracking losses (docs/RESULTS.md);
     fp32 matmuls emulate via multi-pass bf16 on this chip. The plain
-    presets stay fp32 for converted-checkpoint parity."""
+    presets stay fp32 for converted-checkpoint parity.
+
+    train.bsz stays at the reference's 32 DELIBERATELY: bsz 128 is +50%
+    samples/s on v5e, but the round-5 loss-tracking A/B
+    (tools/bench_train_recipe_ab.py, docs/RESULTS.md) shows neither
+    linear nor sqrt lr scaling makes it track the bsz-32 eval-loss
+    trajectory at a fixed sample budget. Set train.bsz=128 only when
+    wall-clock per epoch, not loss per sample, is the constraint."""
     cfg = ego4d_config()
     return cfg.replace(model=dataclasses.replace(
         cfg.model, nheads=2, seq_pad_multiple=16,

@@ -4,9 +4,15 @@ fused fine forward against its own matmul speed-of-light.
 Method: enumerate every GEMM the per-window DETR forward performs at the
 bench.py serving geometry (qc=16 x topk=20 = 320 windows/dispatch, L=112
 padded seq, d=256, nheads=8 -> d_head=32, ffn 1024, nq=5, bf16) and time
-each shape as a STANDALONE jitted XLA op, back-to-back dispatches,
-tunnel_sync-fenced. The sum of those times is the fastest any schedule
-could run the same matmul content with zero fusion wins, zero overhead of
+each shape CHAINED inside one jitted program — a lax.scan whose carry
+feeds a scalar derived from each product back into the next iteration's
+lhs, so XLA can neither hoist the matmul out of the loop nor DCE it, and
+the tunnel's per-dispatch overhead (10-80 ms, larger than most of these
+GEMMs' entire device time) amortizes over the chain. (A first version
+timed each GEMM as a standalone dispatch; its "speed-of-light sum" came
+out 4.5x SLOWER than the real fused forward — pure enqueue overhead.)
+The sum of the chained times is the fastest any schedule could run the
+same matmul content with zero fusion wins, zero overhead of
 softmax/masking/layernorm/gather/NMS. Comparing it with the measured full
 model forward (and the full fused dispatch) separates:
 
@@ -83,29 +89,83 @@ def main():
         tunnel_sync(out)
         return max(time.perf_counter() - t0 - lat, 1e-9) / n
 
-    total_sol, total_flops = 0.0, 0.0
-    print(f"{'GEMM':<30}{'shape':>24}{'us':>8}{'TFLOP/s':>9}{'MFU%':>6}")
+    def chain_time(a, b, matmul, fl):
+        """Device seconds per GEMM: data-dependent repeats in ONE program.
+
+        Cheat-proofing (same traps tools/bench_coarse.py documents):
+        the product is consumed through `max(c)` — non-linear, so the
+        simplifier can neither narrow the dot to one output element nor
+        factor `reduce(dot)` into reduced operands — and the loop carry
+        perturbs ONE element of the rhs by that max (in-place scatter on
+        the donated carry; not distributable out of the dot). Chain
+        length adapts so each run is ~0.15 s of estimated device time,
+        amortizing the tunnel's 10-80 ms dispatch+fence cost; subtracting
+        a quarter-length run cancels what overhead remains.
+        """
+        def body(carry_b, _):
+            c = matmul(a, carry_b)
+            eps = (jnp.max(c).astype(jnp.float32) * 1e-20)
+            return carry_b.at[(0,) * carry_b.ndim].add(
+                eps.astype(carry_b.dtype)), ()
+
+        def run(r):
+            f = jax.jit(
+                lambda b: jax.lax.scan(body, b, None, length=r)[0],
+                donate_argnums=0)
+            out = f(jnp.array(b))  # copy: each call donates its input
+            tunnel_sync(out)
+            best = float("inf")
+            for _ in range(3):
+                bb = jnp.array(b)  # donated each call
+                t0 = time.perf_counter()
+                out = f(bb)
+                tunnel_sync(out)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        est = fl / (0.3 * PEAK_BF16)          # s/step if ~30% MFU
+        R = int(min(max(0.15 / est, 400), 40000))
+        return max(run(R) - run(R // 4), 1e-9) / (R - R // 4)
+
+    def shape_ceiling(m, k, n):
+        """MXU fill ceiling from shape alone: the 128x128 systolic array
+        contracts 128 deep (k) and emits 128 lanes (n); k or n below 128
+        idles the remainder. m only pays sublane padding to 8."""
+        u_k = min(k, 128) / 128 if k % 128 else 1.0
+        u_n = min(n, 128) / 128 if n % 128 else 1.0
+        u_m = m / (-(-m // 8) * 8)
+        return u_k * u_n * u_m
+
+    total_sol, total_flops, total_ceiling_t = 0.0, 0.0, 0.0
+    print(f"{'GEMM':<30}{'shape':>24}{'us':>8}{'TFLOP/s':>9}"
+          f"{'MFU%':>6}{'ceil%':>6}")
     for name, count, bt, m, k, n in gemms:
         if bt == 1:
             a = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
             b = jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16)
-            f = jax.jit(lambda a, b: a @ b)
+            mm = lambda x, y: x @ y
         else:
             a = jnp.asarray(rng.normal(size=(bt, m, k)), jnp.bfloat16)
             b = jnp.asarray(rng.normal(size=(bt, k, n)), jnp.bfloat16)
-            f = jax.jit(lambda a, b: jnp.einsum("bmk,bkn->bmn", a, b))
-        t = timed(f, a, b)
+            mm = lambda x, y: jnp.einsum("bmk,bkn->bmn", x, y)
         fl = 2.0 * bt * m * k * n
+        t = chain_time(a, b, mm, fl)
+        ceil = shape_ceiling(m, k, n)
         total_sol += count * t
         total_flops += count * fl
+        total_ceiling_t += count * fl / (ceil * PEAK_BF16)
         shape = f"{bt}x({m}x{k}x{n})" if bt > 1 else f"{m}x{k}x{n}"
         print(f"{name:<30}{shape:>24}{t * 1e6:>8.1f}"
-              f"{fl / t / 1e12:>9.2f}{100 * fl / t / PEAK_BF16:>6.1f}")
+              f"{fl / t / 1e12:>9.2f}{100 * fl / t / PEAK_BF16:>6.1f}"
+              f"{100 * ceil:>6.1f}")
 
     print(f"\nmatmul content: {total_flops / 1e9:.2f} GFLOP/dispatch, "
           f"speed-of-light sum {total_sol * 1e3:.3f} ms "
           f"({100 * total_flops / total_sol / PEAK_BF16:.1f}% MFU at zero"
           f" overhead)")
+    print(f"shape-ceiling sum (analytic MXU fill): "
+          f"{total_ceiling_t * 1e3:.3f} ms "
+          f"({100 * total_flops / total_ceiling_t / PEAK_BF16:.1f}% MFU)")
 
     # the real forward at the same geometry (batched windows, bf16)
     import dataclasses as dc
