@@ -199,9 +199,11 @@ def bench_train_small():
 
       * reference recipe (bsz 32, the reference's train_ego4d.sh batch
         size) -> train_samples_per_sec / train_mfu;
-      * throughput-optimal scratch recipe (bsz 128 + seq_pad 16, the
-        tools/bench_train_bsz.py sweep optimum now encoded in
-        ego4d_scratch_config) -> train_samples_per_sec_opt / train_mfu_opt.
+      * throughput-optimal recipe (bsz 128 + seq_pad 16, the
+        tools/bench_train_bsz.py sweep optimum; NOT a preset default —
+        the round-5 loss-tracking A/B rejected it at a fixed sample
+        budget, tools/bench_train_recipe_ab.py)
+        -> train_samples_per_sec_opt / train_mfu_opt.
     """
     ref = _bench_train_one(32, 1, "ref-recipe")
     opt = _bench_train_one(128, 16, "opt-recipe")

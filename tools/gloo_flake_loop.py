@@ -32,13 +32,16 @@ def main():
             capture_output=True, text=True, cwd=root, timeout=900,
         )
         wall = time.time() - t0
-        m = re.search(r"converged after (\d+) retries", r.stdout)
+        # the fixture prints the retry line to stderr (pytest -s passes it
+        # through); search both streams
+        m = re.search(r"converged after (\d+) retries", r.stdout + r.stderr)
         retries = int(m.group(1)) if m else None
         ok = r.returncode == 0
+        load1 = round(os.getloadavg()[0], 2)
         runs.append({"run": i + 1, "ok": ok, "wall_s": round(wall, 1),
-                     "retries": retries})
+                     "retries": retries, "load1": load1})
         print(f"run {i + 1}/{n}: {'PASS' if ok else 'FAIL'} "
-              f"{wall:.0f}s retries={retries}", flush=True)
+              f"{wall:.0f}s retries={retries} load={load1}", flush=True)
         if not ok:
             tail = (r.stdout + r.stderr)[-2000:]
             print(tail, flush=True)
@@ -51,6 +54,7 @@ def main():
         "failures": fails,
         "fail_rate": fails / n,
         "total_retries": tot_retries,
+        "host_cpus": os.cpu_count(),
         "runs_detail": runs,
     }
     out = os.path.join(root, "docs", "gloo_flake_runs.json")
