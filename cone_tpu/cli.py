@@ -100,20 +100,22 @@ def cmd_train(args):
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = _load_cfg(args)
-    if args.dump_config:
-        # resolve preset/--config/--set and write the config json, no
-        # training — lets scripts materialize a workdir-ready config.json
-        # (e.g. scripts/parity_ego4d.sh stage 3) without a train run
-        os.makedirs(os.path.dirname(args.dump_config) or ".", exist_ok=True)
-        cfg.save(args.dump_config)
-        print(f"wrote resolved config to {args.dump_config}")
-        return
     if args.debug:
         cfg = _apply_overrides(cfg, ["train.debug=true"])
     if args.train_path:
         cfg = cfg.replace(data=dc.replace(cfg.data, train_path=args.train_path))
     if args.eval_path:
         cfg = cfg.replace(data=dc.replace(cfg.data, eval_path=args.eval_path))
+    if args.dump_config:
+        # resolve preset/--config/--set/--debug/--*_path and write the
+        # config json, no training — lets scripts materialize a
+        # workdir-ready config.json (e.g. scripts/parity_ego4d.sh stage 3)
+        # without a train run. Runs AFTER the flag folds above so the dump
+        # reflects every CLI override, not just --set.
+        os.makedirs(os.path.dirname(args.dump_config) or ".", exist_ok=True)
+        cfg.save(args.dump_config)
+        print(f"wrote resolved config to {args.dump_config}")
+        return
     if args.synthetic:
         import dataclasses as dc
 
@@ -298,6 +300,11 @@ def cmd_eval(args):
         if args.out:
             with open(args.out, "a") as f:
                 f.write(table + "\n")
+        if args.expect:
+            # window-recall metrics are R<k> (no IoU threshold)
+            _expect_diff(args.expect, args.expect_tol,
+                         {f"R{k}": 100 * float(rec[i])
+                          for i, k in enumerate(wtopk)})
         return
 
     assert args.gt or args.ego4d_gt, "need --gt (flat jsonl) or --ego4d_gt"
@@ -329,34 +336,41 @@ def cmd_eval(args):
         with open(args.out, "a") as f:
             f.write(table + "\n")
     if args.expect:
-        # parity diff against a published row (docs/REAL_DATA.md): each
-        # entry is R<k>@<t>=<percent> or mIoU=<percent>
-        fails = []
-        for item in args.expect.split(","):
-            name, want = item.split("=")
-            name = name.strip()
-            if name.lower() == "miou":
-                assert miou is not None, "mIoU not computed for this dset"
-                got = 100 * float(miou)
-            else:
-                assert name.startswith("R") and "@" in name, (
-                    f"bad --expect entry {name!r} (want R<k>@<t> or mIoU)")
-                kk, tt = name[1:].split("@")
-                key = (int(kk), float(tt))
-                assert key in computed, (
-                    f"--expect {name}: R@{kk} IoU@{tt} not in the computed "
-                    f"table (topK={topk}, thresholds={thresholds})")
-                got = computed[key]
-            delta = got - float(want)
-            line = f"{name}: got {got:.2f}, expected {float(want):.2f} " \
-                   f"(delta {delta:+.2f}, tol {args.expect_tol})"
-            print(("  ok   " if abs(delta) <= args.expect_tol else "  FAIL ")
-                  + line)
-            if abs(delta) > args.expect_tol:
-                fails.append(name)
-        if fails:
-            raise SystemExit(f"parity check FAILED: {', '.join(fails)}")
-        print("parity check PASSED")
+        named = {f"R{k}@{t:g}": v for (k, t), v in computed.items()}
+        if miou is not None:
+            named["mIoU"] = 100 * float(miou)
+        _expect_diff(args.expect, args.expect_tol, named)
+
+
+def _expect_diff(expect: str, tol: float, computed: dict):
+    """--expect parity diff against a published row (docs/REAL_DATA.md):
+    comma-separated <name>=<percent> entries where <name> is a key of the
+    computed table — R<k>@<t> (recall tables), R<k> (window recall), or
+    mIoU. Prints one ok/FAIL line per entry; SystemExit on any miss."""
+    fails = []
+    for item in expect.split(","):
+        name, want = item.split("=")
+        name = name.strip()
+        if name.lower() == "miou":
+            key = "mIoU"
+        elif "@" in name and name.startswith("R"):
+            kk, tt = name[1:].split("@")  # normalize R1@0.30 -> R1@0.3
+            key = f"R{int(kk)}@{float(tt):g}"
+        else:
+            key = name
+        assert key in computed, (
+            f"--expect {name}: not in the computed table "
+            f"(available: {', '.join(computed)})")
+        got = computed[key]
+        delta = got - float(want)
+        line = f"{name}: got {got:.2f}, expected {float(want):.2f} " \
+               f"(delta {delta:+.2f}, tol {tol})"
+        print(("  ok   " if abs(delta) <= tol else "  FAIL ") + line)
+        if abs(delta) > tol:
+            fails.append(name)
+    if fails:
+        raise SystemExit(f"parity check FAILED: {', '.join(fails)}")
+    print("parity check PASSED")
 
 
 def cmd_ensemble(args):

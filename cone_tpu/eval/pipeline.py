@@ -47,8 +47,12 @@ class InferencePipeline:
     # the 2D-TAN pipeline overrides with standard union (lib/core/eval.py:34)
     nms_hull: bool = True
     # cache the per-group stacked video tensors across runs (see
-    # _fused_groups); off switch exists for A/B measurement
+    # _fused_groups); off switch exists for A/B measurement. The LRU is
+    # byte-bounded: entries duplicate _dev_cache feature data on device
+    # (a MAD fp32 group is ~150 MB stacked), so the cap is HBM budget,
+    # not entry count.
     stack_cache: bool = True
+    stack_cache_bytes: int = 2 << 30  # 2 GiB of stacked duplicates max
 
     def __init__(self, model: ConeModel, params, dataset: GroundingDataset,
                  cfg: ConeConfig, mesh=None):
@@ -508,16 +512,18 @@ class InferencePipeline:
         # re-copy the full feature streams on device each time (MAD: 2 x
         # 75 MB per group) plus one dispatch per array. Cache the stacked
         # form keyed by the group's clip ids — steady-state serving then
-        # stages only the (small) query arrays. Bounded LRU so huge
-        # corpora don't double their HBM footprint.
+        # stages only the (small) query arrays. The LRU bound is in BYTES
+        # (entries are duplicates of _dev_cache data, and a MAD fp32 group
+        # stacks ~150 MB — a count bound would let 64 such groups pin
+        # ~10 GB of the 16 GB chip).
         if not hasattr(self, "_stack_cache"):
-            self._stack_cache = {}
+            self._stack_cache = {}  # key -> (arrays, nbytes)
         for group in groups:
             pad = vb - len(group)
             stacked = group + [group[0]] * pad
             key = tuple(c for _, _, c in stacked)
-            hit = self._stack_cache.pop(key, None) if self.stack_cache else None
-            if hit is None:
+            ent = self._stack_cache.pop(key, None) if self.stack_cache else None
+            if ent is None:
                 vids = [self._device_video(c) for _, _, c in stacked]
                 appear = jnp.stack([v[0] for v in vids])
                 a_scale = jnp.stack([v[1] for v in vids])
@@ -525,10 +531,15 @@ class InferencePipeline:
                 m_scale = jnp.stack([v[3] for v in vids])
                 ctx = jnp.asarray([v[4] for v in vids])
                 hit = (appear, a_scale, motion, m_scale, ctx)
+                ent = (hit, sum(int(a.nbytes) for a in hit))
+            hit = ent[0]
             if self.stack_cache:
-                self._stack_cache[key] = hit  # re-insert = LRU touch
-                while len(self._stack_cache) > 64:
-                    self._stack_cache.pop(next(iter(self._stack_cache)))
+                self._stack_cache[key] = ent  # re-insert = LRU touch
+                total = sum(n for _, n in self._stack_cache.values())
+                while (total > self.stack_cache_bytes
+                       and len(self._stack_cache) > 1):
+                    oldest = next(iter(self._stack_cache))
+                    total -= self._stack_cache.pop(oldest)[1]
             appear, a_scale, motion, m_scale, ctx = hit
             qs = [self._chunk_queries(chunk if i < len(group) else [])
                   for i, (chunk, _, _) in enumerate(stacked)]

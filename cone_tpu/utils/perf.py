@@ -137,11 +137,14 @@ def tan_flops_per_query(cfg) -> dict:
                 out_l = (length - k) // s + 1
                 prop += 2 * out_l * k * h * h
                 length = out_l
-    # LSTM: 4 gates, input + recurrent GEMMs per step per layer. The fused
-    # fn repeats the query per window, so this runs per (query, window).
-    lstm0 = 2 * lq * (dt * 4 * h + h * 4 * h)
-    lstm_rest = (t.lstm_layers - 1) * 2 * lq * (h * 4 * h + h * 4 * h)
-    tex = 2 * t.txt_hidden_size * h
+    # LSTM: 4 gates, input + recurrent GEMMs per step per layer, at the
+    # TEXT hidden width (BaseFusion builds LstmTextEncoder(txt_hidden_size),
+    # models/tan.py:238; tex_linear then maps th -> h). The fused fn
+    # repeats the query per window, so this runs per (query, window).
+    th = t.txt_hidden_size
+    lstm0 = 2 * lq * (dt * 4 * th + th * 4 * th)
+    lstm_rest = (t.lstm_layers - 1) * 2 * lq * (th * 4 * th + th * 4 * th)
+    tex = 2 * th * h
     fusion = lstm0 + lstm_rest + tex + 2 * nc * nc * h * h  # + vis 1x1 conv
 
     # mask-renormalized KxK conv stack; the ones-kernel count conv is

@@ -171,6 +171,64 @@ def test_cli_eval_standalone(tmp_path, capsys):
     assert "50.00" in printed and "100.00" in printed
 
 
+def test_cli_eval_expect_window_recall(tmp_path, capsys):
+    """--expect works in --ranklists (window-recall) mode too — R<k>
+    entries diff against the coarse recall table instead of being silently
+    ignored (round-5 review fix)."""
+    import pytest
+
+    from cone_tpu.cli import main
+    from cone_tpu.utils.io import save_jsonl
+
+    gt = [{"query_id": "a_0", "timestamps": [10.0, 20.0]},
+          {"query_id": "a_1", "timestamps": [30.0, 40.0]}]
+    save_jsonl(gt, str(tmp_path / "gt.jsonl"))
+    # stride 16: a_0 GT -> windows {0,1,2} (hit at rank 2); a_1 -> no hit
+    save_jsonl([{"query_id": "a_0", "ranklist": [5, 0]},
+                {"query_id": "a_1", "ranklist": [7, 9]}],
+               str(tmp_path / "windows.jsonl"))
+    args = ["eval", "--gt", str(tmp_path / "gt.jsonl"),
+            "--ranklists", str(tmp_path / "windows.jsonl"),
+            "--clip_length", "1.0", "--max_v_l", "32", "--topK", "1", "2"]
+    main(args + ["--expect", "R1=0,R2=50", "--expect_tol", "0.01"])
+    assert "parity check PASSED" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="FAILED"):
+        main(args + ["--expect", "R2=90", "--expect_tol", "0.5"])
+
+
+def test_cli_eval_expect_normalizes_names(tmp_path, capsys):
+    """--expect entry names normalize (R1@0.30 == R1@0.3) and mIoU diffs."""
+    from cone_tpu.cli import main
+    from cone_tpu.utils.io import save_jsonl
+
+    gt = [{"query_id": "a_0", "timestamps": [10.0, 20.0]}]
+    sub = [{"query_id": "a_0", "predicted_times": [[10.0, 20.0, 0.9]]}]
+    save_jsonl(gt, str(tmp_path / "gt.jsonl"))
+    save_jsonl(sub, str(tmp_path / "sub.jsonl"))
+    main(["eval", "--submission", str(tmp_path / "sub.jsonl"),
+          "--gt", str(tmp_path / "gt.jsonl"), "--dset", "ego4d",
+          "--topK", "1", "--expect", "R1@0.30=100,mIoU=100",
+          "--expect_tol", "0.01"])
+    assert "parity check PASSED" in capsys.readouterr().out
+
+
+def test_cli_train_dump_config_captures_flags(tmp_path):
+    """--dump_config folds --debug/--train_path/--eval_path before writing
+    (previously dumped the preset defaults, dropping those flags)."""
+    import json as _json
+
+    from cone_tpu.cli import main
+
+    out = tmp_path / "cfg.json"
+    main(["train", "--preset", "ego4d", "--workdir", str(tmp_path / "wd"),
+          "--train_path", "tr.jsonl", "--eval_path", "val.jsonl",
+          "--debug", "--dump_config", str(out)])
+    cfg = _json.load(open(out))
+    assert cfg["data"]["train_path"] == "tr.jsonl"
+    assert cfg["data"]["eval_path"] == "val.jsonl"
+    assert cfg["train"]["debug"] is True
+
+
 def test_cli_ensemble(tmp_path):
     """`cone_tpu ensemble` fuses prediction jsonls and pads to exactly 5
     rows (ECCV_2022_workshop/ensemble.py recipe)."""

@@ -40,7 +40,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-PEAK_BF16 = 197e12
+from cone_tpu.utils.perf import CHIP_PEAKS
+
+PEAK_BF16 = CHIP_PEAKS["v5e"]["flops_bf16"]
 
 
 def main():
@@ -129,10 +131,11 @@ def main():
 
     def shape_ceiling(m, k, n):
         """MXU fill ceiling from shape alone: the 128x128 systolic array
-        contracts 128 deep (k) and emits 128 lanes (n); k or n below 128
-        idles the remainder. m only pays sublane padding to 8."""
-        u_k = min(k, 128) / 128 if k % 128 else 1.0
-        u_n = min(n, 128) / 128 if n % 128 else 1.0
+        contracts 128 deep (k) and emits 128 lanes (n); any dim pads to the
+        next multiple of 128 (k=160 fills 160/256, not 1.0). m only pays
+        sublane padding to 8."""
+        u_k = k / (-(-k // 128) * 128)
+        u_n = n / (-(-n // 128) * 128)
         u_m = m / (-(-m // 8) * 8)
         return u_k * u_n * u_m
 

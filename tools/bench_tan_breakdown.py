@@ -31,7 +31,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-PEAK_BF16 = 197e12
+from cone_tpu.utils.perf import CHIP_PEAKS  # noqa: E402
+
+PEAK_BF16 = CHIP_PEAKS["v5e"]["flops_bf16"]
 
 
 def main():

@@ -26,26 +26,35 @@ def main():
     runs = []
     for i in range(n):
         t0 = time.time()
-        r = subprocess.run(
-            [sys.executable, "-m", "pytest", "tests/test_multiprocess.py",
-             "-q", "-s"],
-            capture_output=True, text=True, cwd=root, timeout=900,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest",
+                 "tests/test_multiprocess.py", "-q", "-s"],
+                capture_output=True, text=True, cwd=root, timeout=900,
+            )
+            out = r.stdout + r.stderr
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired as e:
+            # a hung run IS a failure (the documented Gloo-wedge mode) —
+            # count it and keep measuring instead of losing the loop
+            out = "".join(s if isinstance(s, str)
+                          else (s or b"").decode("utf-8", "replace")
+                          for s in (e.stdout, e.stderr))
+            out += "\n[gloo_flake_loop] TIMEOUT after 900 s"
+            ok = False
         wall = time.time() - t0
         # the fixture prints the retry line to stderr (pytest -s passes it
         # through); search both streams
-        m = re.search(r"converged after (\d+) retries", r.stdout + r.stderr)
+        m = re.search(r"converged after (\d+) retries", out)
         retries = int(m.group(1)) if m else None
-        ok = r.returncode == 0
         load1 = round(os.getloadavg()[0], 2)
         runs.append({"run": i + 1, "ok": ok, "wall_s": round(wall, 1),
                      "retries": retries, "load1": load1})
         print(f"run {i + 1}/{n}: {'PASS' if ok else 'FAIL'} "
               f"{wall:.0f}s retries={retries} load={load1}", flush=True)
         if not ok:
-            tail = (r.stdout + r.stderr)[-2000:]
-            print(tail, flush=True)
-            runs[-1]["tail"] = tail
+            runs[-1]["tail"] = out[-2000:]
+            print(out[-2000:], flush=True)
 
     fails = sum(1 for r in runs if not r["ok"])
     tot_retries = sum(r["retries"] or 0 for r in runs if r["retries"] is not None)
