@@ -124,6 +124,29 @@ def test_fused_stack_cache_reuses_and_matches(pipeline):
     assert rank3 == rank1 and subs3 == subs1
 
 
+def test_fused_stack_cache_byte_bound_evicts(cfg, ds):
+    """The stacked-group LRU is bounded in BYTES (a MAD fp32 group stacks
+    ~150 MB; a count bound could pin ~10 GB of duplicate HBM). With a tiny
+    cap, the cache must keep at most the newest entry per insert round and
+    results must stay identical to the uncapped run."""
+    model, params = build_model_and_params(cfg.model, seed=0)
+    pipe = InferencePipeline(model, params, ds, cfg)
+    subs_ref, rank_ref = pipe.run(host_postproc=False, fused=True)
+    full_entries = len(pipe._stack_cache)
+    assert full_entries >= 2  # 3 videos -> several distinct groups
+    total = sum(n for _, n in pipe._stack_cache.values())
+    assert total > 0
+
+    capped = InferencePipeline(model, params, ds, cfg)
+    capped.stack_cache_bytes = 1  # force eviction down to one entry
+    subs_cap, rank_cap = capped.run(host_postproc=False, fused=True)
+    assert len(capped._stack_cache) == 1  # never exceeds the floor of one
+    assert rank_cap == rank_ref and subs_cap == subs_ref
+    # and a second capped run (all misses) still matches
+    subs_cap2, rank_cap2 = capped.run(host_postproc=False, fused=True)
+    assert rank_cap2 == rank_ref and subs_cap2 == subs_ref
+
+
 def test_device_postproc_agrees_with_host(pipeline, results):
     subs, ranklists = results
     rows = pipeline.fine(ranklists)
