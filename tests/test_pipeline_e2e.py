@@ -124,6 +124,8 @@ def test_fused_stack_cache_reuses_and_matches(pipeline):
     assert rank3 == rank1 and subs3 == subs1
 
 
+@pytest.mark.heavy  # ~29 s (compiles its own capped pipeline) — keep the
+# fast lane under 5 min; the release gate runs it
 def test_fused_stack_cache_byte_bound_evicts(cfg, ds):
     """The stacked-group LRU is bounded in BYTES (a MAD fp32 group stacks
     ~150 MB; a count bound could pin ~10 GB of duplicate HBM). With a tiny
